@@ -1,0 +1,133 @@
+"""The point-query pipeline: sample points -> (bend) -> encode -> canonical MLP.
+
+This is the inner hot loop of NR-NeRF (reference: NeRF.forward,
+run_nerf_helpers.py:240-314, driven through run_network, train.py:57-105).
+The reference streams flattened points through the network in `netchunk`
+pieces to bound GPU memory; on TPU the whole (rays, samples) block is one
+fused XLA computation (the caller bounds memory by choosing the ray-block
+size), and keeping the (rays, samples) structure makes the
+finite-difference view directions a simple shifted subtraction instead of
+the reference's netchunk-divisibility contortions (train.py:584-592).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nonrigid_nerf_tpu.config import EditConfig, ModelConfig
+from nonrigid_nerf_tpu.models.bending import bend_points
+from nonrigid_nerf_tpu.models.nerf import nerf_mlp_apply
+from nonrigid_nerf_tpu.ops.embedding import fourier_embed
+
+
+def _embed_pts(cfg: ModelConfig, pts):
+    if cfg.i_embed == -1:
+        return pts
+    return fourier_embed(pts, cfg.multires)
+
+
+def _embed_views(cfg: ModelConfig, dirs):
+    if cfg.i_embed == -1:
+        return dirs
+    return fourier_embed(dirs, cfg.multires_views)
+
+
+def _finite_difference_viewdirs(bent_pts, eps: float = 1e-6):
+    """Per-sample view directions of the *bent* ray: normalized backward
+    differences between consecutive bent samples, first sample duplicated
+    (reference: run_nerf_helpers.py:316-369, "backward" branch)."""
+    diffs = bent_pts[..., 1:, :] - bent_pts[..., :-1, :]     # (R, S-1, 3)
+    norm = jnp.linalg.norm(diffs, axis=-1, keepdims=True)
+    diffs = diffs / (norm + eps)
+    return jnp.concatenate([diffs[..., :1, :], diffs], axis=-2)  # (R, S, 3)
+
+
+def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
+                 edit: EditConfig = EditConfig(), network: str = "coarse",
+                 detailed: bool = False):
+    """Evaluate the radiance field at ray sample points.
+
+    Args:
+      params: dict with "coarse"/"fine" canonical MLP params and optionally
+        "bender" (bending + rigidity) params.
+      pts:      (R, S, 3) world-space sample points.
+      viewdirs: (R, 3) unit view directions, or None.
+      latents:  (R, L) per-ray deformation latent codes (ignored when the
+        model has no bending and no time conditioning).
+      network:  "coarse" | "fine".
+      detailed: also return the internals dict the regularizers consume
+        (reference: the detailed_output threading, train.py:875-972).
+
+    Returns raw (R, S, 4), or (raw, details) when detailed.
+    """
+    nerf_params = params[network]
+    bender = params.get("bender") if cfg.use_ray_bending else None
+    R, S = pts.shape[:-1]
+
+    details = {"initial_input_pts": jax.lax.stop_gradient(pts)} if detailed \
+        else None
+
+    latents_per_pt = None
+    if cfg.use_ray_bending or cfg.time_conditioned_baseline:
+        latents_per_pt = jnp.broadcast_to(
+            latents[..., None, :], (R, S, latents.shape[-1]))
+
+    if bender is not None and not edit.render_canonical:
+        bent_pts, bend_details = bend_points(
+            bender, pts, latents_per_pt,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
+            test_time_scaling=edit.test_time_scaling)
+        if detailed:
+            details.update(
+                {k: v for k, v in bend_details.items()})
+            details["input_pts"] = jax.lax.stop_gradient(bent_pts)
+        rigidity = bend_details.get("rigidity_mask")
+    else:
+        bent_pts = pts
+        rigidity = None
+        if detailed:
+            details["input_pts"] = jax.lax.stop_gradient(pts)
+
+    embedded = _embed_pts(cfg, bent_pts)
+
+    embedded_views = None
+    if cfg.use_viewdirs:
+        if bender is not None and not edit.render_canonical:
+            if cfg.approx_nonrigid_viewdirs:
+                dirs = _finite_difference_viewdirs(bent_pts)
+            else:
+                # exact: directional derivative of the bending map along the
+                # unbent ray direction, J_bend(x) @ d, in ONE forward-mode
+                # jvp (the reference needs 3 reverse passes,
+                # run_nerf_helpers.py:371-385)
+                d = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+
+                def _bend(p):
+                    return bend_points(
+                        bender, p, latents_per_pt,
+                        compute_dtype=jnp.dtype(cfg.compute_dtype),
+                        rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
+                        test_time_scaling=edit.test_time_scaling)[0]
+
+                _, dd = jax.jvp(_bend, (pts,), (d,))
+                dirs = dd / (jnp.linalg.norm(dd, axis=-1, keepdims=True) + 1e-6)
+        else:
+            dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+        embedded_views = _embed_views(cfg, dirs)
+
+    raw = nerf_mlp_apply(nerf_params, cfg, embedded, embedded_views,
+                         latents_per_pt)
+
+    # test-time foreground removal: make nonrigid content invisible
+    # (reference: run_nerf_helpers.py:309-311)
+    if edit.nonrigid_object_removal_threshold is not None and rigidity is not None:
+        removal = rigidity[..., 0] >= edit.nonrigid_object_removal_threshold
+        raw = raw.at[..., 3].set(jnp.where(removal, 0.0, raw[..., 3]))
+
+    if detailed:
+        return raw, details
+    return raw

@@ -1,0 +1,142 @@
+"""Volumetric rendering engine: coarse + fine passes over ray blocks.
+
+Behavioral contract (reference: render_rays, train.py:792-980, and the
+render/batchify_rays drivers, train.py:27-137,326-416).
+
+TPU-first design: `render_rays` is one pure function over a fixed-size ray
+block — sampling, both network passes, importance resampling, and
+compositing fuse into a single XLA program. Chunked streaming (the
+reference's batchify_rays) becomes `jax.lax.map` over fixed-shape blocks
+inside jit; there is no Python-level chunk loop on the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nonrigid_nerf_tpu.config import EditConfig, ModelConfig, RenderSettings
+from nonrigid_nerf_tpu.engine.query import query_points
+from nonrigid_nerf_tpu.ops.compositing import raw2outputs
+from nonrigid_nerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
+
+
+def render_rays(params, cfg: ModelConfig, rs: RenderSettings,
+                rays_o, rays_d, latents, key: Optional[jax.Array] = None,
+                edit: EditConfig = EditConfig(), detailed: bool = False,
+                retraw: bool = False):
+    """Render a block of rays. Returns a dict of per-ray outputs.
+
+    rays_o, rays_d: (R, 3); latents: (R, L); key: PRNG key for stratified
+    jitter / density noise / importance draws (None => deterministic).
+    """
+    R = rays_o.shape[0]
+    viewdirs = None
+    if cfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    if key is not None:
+        k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
+    else:
+        k_strat = k_noise0 = k_pdf = k_noise1 = None
+
+    z_vals = stratified_z_vals(k_strat, rs.near, rs.far, R, rs.N_samples,
+                               lindisp=rs.lindisp, perturb=rs.perturb)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+
+    out = query_points(params, cfg, pts, viewdirs, latents, edit,
+                       network="coarse", detailed=detailed)
+    raw, details = out if detailed else (out, None)
+
+    coarse = raw2outputs(raw, z_vals, rays_d, rs.raw_noise_std,
+                         rs.white_bkgd, noise_key=k_noise0)
+
+    ret = {}
+    if rs.N_importance > 0:
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(
+            k_pdf, z_mid, coarse.visibility_weights[..., 1:-1],
+            rs.N_importance, det=(rs.perturb == 0.0))
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
+        pts_fine = (rays_o[..., None, :]
+                    + rays_d[..., None, :] * z_all[..., :, None])
+
+        fine_net = "fine" if "fine" in params else "coarse"
+        out = query_points(params, cfg, pts_fine, viewdirs, latents, edit,
+                           network=fine_net, detailed=detailed)
+        raw_fine, fine_details = out if detailed else (out, None)
+
+        fine = raw2outputs(raw_fine, z_all, rays_d, rs.raw_noise_std,
+                           rs.white_bkgd, noise_key=k_noise1)
+
+        ret.update(rgb_map=fine.rgb_map, disp_map=fine.disp_map,
+                   acc_map=fine.acc_map, depth_map=fine.depth_map,
+                   rgb0=coarse.rgb_map, disp0=coarse.disp_map,
+                   acc0=coarse.acc_map,
+                   z_std=jnp.std(z_samples, axis=-1))
+        if retraw:
+            ret["raw"] = raw_fine
+        if detailed:
+            ret["fine_visibility_weights"] = fine.visibility_weights
+            ret["fine_opacity_alpha"] = fine.opacity_alpha
+            for k, v in fine_details.items():
+                ret["fine_" + k] = v
+    else:
+        ret.update(rgb_map=coarse.rgb_map, disp_map=coarse.disp_map,
+                   acc_map=coarse.acc_map, depth_map=coarse.depth_map)
+        if retraw:
+            ret["raw"] = raw
+
+    if detailed:
+        # coarse-pass internals, consumed by the offsets/divergence losses
+        ret["visibility_weights"] = coarse.visibility_weights
+        ret["opacity_alpha"] = coarse.opacity_alpha
+        for k, v in details.items():
+            ret[k] = v
+    return ret
+
+
+def make_ray_renderer(cfg: ModelConfig, rs: RenderSettings,
+                      edit: EditConfig = EditConfig(), chunk: int = 32768,
+                      detailed: bool = False, jit: bool = True):
+    """Build a renderer for arbitrarily many rays.
+
+    Rays are padded to a multiple of `chunk` and streamed block-by-block with
+    `lax.map` inside one jitted program (the TPU replacement for the
+    reference's Python batchify_rays loop, train.py:108-137).
+
+    Returns fn(params, rays_o (N,3), rays_d (N,3), latents (N,L), key) -> dict.
+    """
+
+    def _render_many(params, rays_o, rays_d, latents, key):
+        n = rays_o.shape[0]
+        n_blocks = max(1, -(-n // chunk))
+        pad = n_blocks * chunk - n
+
+        def _pad(x):
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], 0) \
+                if pad else x
+
+        ro = _pad(rays_o).reshape(n_blocks, chunk, 3)
+        rd = _pad(rays_d).reshape(n_blocks, chunk, 3)
+        lat = _pad(latents).reshape(n_blocks, chunk, latents.shape[-1])
+        keys = (jax.random.split(key, n_blocks) if key is not None
+                else jnp.zeros((n_blocks, 2), jnp.uint32))
+
+        def _block(args):
+            ro_b, rd_b, lat_b, key_b = args
+            return render_rays(params, cfg, rs, ro_b, rd_b, lat_b,
+                               key=key_b if key is not None else None,
+                               edit=edit, detailed=detailed)
+
+        out = jax.lax.map(_block, (ro, rd, lat, keys))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((n_blocks * chunk,) + x.shape[2:])[:n], out)
+
+    if jit:
+        return jax.jit(_render_many)
+    return _render_many
