@@ -1,0 +1,101 @@
+"""The jitted NR-NeRF training step.
+
+One fused XLA program per step: on-device pixel sampling -> ray generation ->
+latent lookup -> coarse+fine volumetric rendering -> per-ray losses ->
+two-phase gradients -> Adam update. The reference spreads this across numpy
+sampling, a host->GPU copy, DataParallel scatter/gather, two backward passes
+with retain_graph, and a Python-side LR update (reference:
+train.py:1534-1643); here the host only feeds a step counter.
+
+Two-phase gradient semantics (reference: train.py:1594-1608): rays from test
+images contribute gradients ONLY to the per-timestep latent codes; rays from
+training images to everything. Both phases share one forward pass via
+jax.vjp with two cotangent vectors — exactly the cost profile of the
+reference's two backwards over one graph, minus the retained graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nonrigid_nerf_tpu.config import ModelConfig, RenderSettings, TrainConfig
+from nonrigid_nerf_tpu.data.dataset import RayDataset, sample_ray_batch
+from nonrigid_nerf_tpu.engine.losses import per_ray_losses
+from nonrigid_nerf_tpu.engine.render import render_rays
+from nonrigid_nerf_tpu.engine.train_state import TrainState, make_optimizer
+from nonrigid_nerf_tpu.ops.math import mse2psnr
+
+
+def train_step(state: TrainState, ds: RayDataset, key, *,
+               cfg: ModelConfig, tc: TrainConfig, rs: RenderSettings,
+               optimizer, has_test_split: bool, n_rand: int):
+    """One optimization step. Returns (new_state, metrics)."""
+    k_batch, k_render, k_loss = jax.random.split(
+        jax.random.fold_in(key, state.step), 3)
+
+    batch = sample_ray_batch(k_batch, ds, n_rand)
+    needs_detail = cfg.use_ray_bending and (
+        tc.offsets_loss_weight > 0.0 or tc.divergence_loss_weight > 0.0)
+
+    def losses_fn(params):
+        latents = params["latents"][batch["timestep_ids"]]
+        out = render_rays(params, cfg, rs, batch["rays_o"], batch["rays_d"],
+                          latents, key=k_render, detailed=needs_detail)
+        losses, aux = per_ray_losses(k_loss, params, cfg, tc, out,
+                                     batch["target_rgb"], latents, state.step)
+        return losses, aux
+
+    losses, vjp_fn, aux = jax.vjp(losses_fn, state.params, has_aux=True)
+
+    # phase 1 (always): training rays -> gradients for everything.
+    # mean over the FULL batch with the indicator mask, matching the
+    # reference's `mean(indicator * losses)` (train.py:1604-1607).
+    inv_n = 1.0 / float(n_rand)
+    grads, = vjp_fn(batch["train_indicator"] * inv_n)
+
+    if has_test_split:
+        # phase 2: test rays -> latent-table gradients only
+        test_grads, = vjp_fn(batch["test_indicator"] * inv_n)
+        grads = {**grads,
+                 "latents": grads["latents"] + test_grads["latents"]}
+
+    updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates)
+
+    new_state = TrainState(params=new_params, opt_state=new_opt_state,
+                           step=state.step + 1)
+
+    train_count = jnp.maximum(jnp.sum(batch["train_indicator"]), 1.0)
+    def masked_mean(x):
+        return jnp.sum(x * batch["train_indicator"]) / train_count
+
+    metrics = {
+        "loss": masked_mean(losses),
+        "psnr": mse2psnr(masked_mean(aux["img_loss"])),
+    }
+    for name in ("img_loss", "img_loss0", "offsets_loss", "divergence_loss"):
+        if name in aux:
+            metrics[name] = masked_mean(aux[name])
+    return new_state, metrics
+
+
+def make_train_step(cfg: ModelConfig, tc: TrainConfig, rs: RenderSettings,
+                    has_test_split: bool, n_rand: Optional[int] = None,
+                    donate: bool = True):
+    """Build the jitted single-device train step.
+
+    Returns fn(state, ds, key) -> (state, metrics). The state buffers are
+    donated: parameters and optimizer state update in place in HBM.
+    """
+    optimizer = make_optimizer(tc)
+    step_fn = functools.partial(
+        train_step, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
+        has_test_split=has_test_split,
+        n_rand=n_rand if n_rand is not None else tc.N_rand)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

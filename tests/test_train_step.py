@@ -1,0 +1,190 @@
+"""Train step + checkpoint tests, including a mini end-to-end training run."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nonrigid_nerf_tpu.config import ModelConfig, RenderSettings, TrainConfig
+from nonrigid_nerf_tpu.checkpoints import (
+    save_checkpoint, load_checkpoint, restore_opt_state, latest_checkpoint)
+from nonrigid_nerf_tpu.data import (
+    load_llff_data, get_multi_view_mappings, get_intrinsics,
+    block_train_test_split, build_ray_dataset)
+from nonrigid_nerf_tpu.engine.train_state import (
+    TrainState, create_train_state, lr_schedule, make_optimizer)
+from nonrigid_nerf_tpu.engine.train_step import make_train_step
+from tests.test_data import write_synthetic_sequence
+
+
+TINY = ModelConfig(netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+                   skips=(), multires=4, N_samples=8, N_importance=8,
+                   bending_depth=3, bending_width=16, rigidity_depth=2,
+                   rigidity_width=8, ray_bending_latent_size=4)
+
+
+def build_tiny_dataset(tmp_path, train_block=0, test_block=0):
+    n, H, W, focal = write_synthetic_sequence(str(tmp_path), n=4, H=10, W=12)
+    images, poses, bds, _, _ = load_llff_data(str(tmp_path), factor=1)
+    extras = get_multi_view_mappings(n, str(tmp_path))
+    intrin = get_intrinsics(str(tmp_path), extras, images, poses[0, :, 4],
+                            ray_bending_latent_size=4)
+    i_train, i_test = block_train_test_split(
+        n, extras["imageid_to_timestepid"], train_block, test_block)
+    ds = build_ray_dataset(images, poses[:, :3, :4], intrin, extras,
+                           i_train, i_test, near=2.0, far=6.0)
+    return ds
+
+
+class TestLrSchedule:
+    def test_matches_reference_formula(self):
+        tc = TrainConfig(lrate=5e-4, lrate_decay=250000, warmup_steps=1000)
+        sched = lr_schedule(tc)
+        # at step 0: lr / (20 * 1 + 1)
+        np.testing.assert_allclose(float(sched(0)), 5e-4 / 21.0, rtol=1e-6)
+        # at warmup end: full lr (* tiny decay)
+        expected = 5e-4 * 0.1 ** (1000 / 250000)
+        np.testing.assert_allclose(float(sched(1000)), expected, rtol=1e-6)
+        # deep decay
+        np.testing.assert_allclose(float(sched(250000)), 5e-5, rtol=1e-5)
+
+
+class TestTrainStep:
+    def test_single_step_updates_params(self, tmp_path):
+        ds = build_tiny_dataset(tmp_path)
+        tc = TrainConfig(N_rand=32, offsets_loss_weight=60.0,
+                         divergence_loss_weight=3.0,
+                         rigidity_loss_weight=5e-4, N_iters=100)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                            raw_noise_std=1.0)
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc,
+                                   ds.num_timesteps)
+        step_fn = make_train_step(TINY, tc, rs, has_test_split=False,
+                                  donate=False)
+        old_w = np.asarray(state.params["coarse"]["pts"][0]["w"]).copy()
+        new_state, metrics = step_fn(state, ds, jax.random.PRNGKey(1))
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+        assert not np.array_equal(
+            np.asarray(new_state.params["coarse"]["pts"][0]["w"]), old_w)
+        # at step 1 the zero-init bending output layer blocks latent
+        # gradients (matching the reference); after it moves, latents follow
+        assert float(jnp.abs(new_state.params["latents"]).max()) == 0.0
+        for _ in range(2):
+            new_state, _ = step_fn(new_state, ds, jax.random.PRNGKey(2))
+        assert float(jnp.abs(new_state.params["latents"]).max()) > 0.0
+
+    def test_loss_decreases_e2e(self, tmp_path):
+        """The ONE-model milestone: a few hundred steps on a synthetic scene
+        must reduce reconstruction loss (SURVEY.md §7 step 3)."""
+        ds = build_tiny_dataset(tmp_path)
+        tc = TrainConfig(N_rand=128, lrate=5e-3, lrate_decay=250000,
+                         offsets_loss_weight=60.0, divergence_loss_weight=3.0,
+                         rigidity_loss_weight=5e-4, N_iters=300,
+                         warmup_steps=10)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0)
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc,
+                                   ds.num_timesteps)
+        step_fn = make_train_step(TINY, tc, rs, has_test_split=False)
+        key = jax.random.PRNGKey(42)
+        first = None
+        for i in range(200):
+            state, metrics = step_fn(state, ds, key)
+            if i == 0:
+                first = float(metrics["img_loss"])
+        last = float(metrics["img_loss"])
+        assert np.isfinite(last)
+        assert last < first * 0.7, (first, last)
+
+    def test_test_split_only_updates_latents_for_test_rays(self, tmp_path):
+        ds = build_tiny_dataset(tmp_path, train_block=1, test_block=1)
+        # timesteps 0,2 train; 1,3 test
+        assert float(ds.test_indicator.sum()) == 2.0
+        tc = TrainConfig(N_rand=64, offsets_loss_weight=60.0,
+                         divergence_loss_weight=0.0, N_iters=100)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0)
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc,
+                                   ds.num_timesteps)
+        # un-zero the bending output layer so latents receive gradients
+        state.params["bender"]["bend"][-1]["w"] = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(9), state.params["bender"]["bend"][-1]["w"].shape)
+        step_fn = make_train_step(TINY, tc, rs, has_test_split=True,
+                                  donate=False)
+        new_state, _ = step_fn(state, ds, jax.random.PRNGKey(3))
+        # all-timestep latents may move (train rays through bending + test
+        # rays through phase 2); network weights must also move
+        assert float(jnp.abs(new_state.params["latents"]).max()) > 0.0
+
+        # gradient isolation check: a batch of ONLY test rays must leave the
+        # networks untouched. Force it by zeroing the train indicator.
+        import dataclasses
+        ds_test_only = dataclasses.replace(
+            ds, train_indicator=jnp.zeros_like(ds.train_indicator),
+            test_indicator=jnp.ones_like(ds.test_indicator))
+        new_state2, _ = step_fn(state, ds_test_only, jax.random.PRNGKey(3))
+        np.testing.assert_array_equal(
+            np.asarray(new_state2.params["coarse"]["pts"][0]["w"]),
+            np.asarray(state.params["coarse"]["pts"][0]["w"]))
+        assert float(jnp.abs(
+            new_state2.params["latents"] - state.params["latents"]).max()) > 0
+
+
+class TestCheckpoints:
+    def test_roundtrip(self, tmp_path):
+        tc = TrainConfig()
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc, 4)
+        extras = {"near": 2.0, "far": 6.0, "intrinsics": {"0": {"focal_x": 20.0}}}
+        path = os.path.join(tmp_path, "latest.npz")
+        save_checkpoint(path, 123, state.params, state.opt_state, extras)
+
+        step, params, opt_state, loaded_extras = load_checkpoint(path)
+        assert step == 123
+        assert loaded_extras["near"] == 2.0
+        for (p1, p2) in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+        restored = restore_opt_state(state.opt_state, opt_state)
+        for (p1, p2) in zip(jax.tree_util.tree_leaves(state.opt_state),
+                            jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_resume_training(self, tmp_path):
+        ds = build_tiny_dataset(tmp_path)
+        tc = TrainConfig(N_rand=32, N_iters=100)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0)
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc,
+                                   ds.num_timesteps)
+        step_fn = make_train_step(TINY, tc, rs, has_test_split=False,
+                                  donate=False)
+        key = jax.random.PRNGKey(7)
+        for _ in range(3):
+            state, _ = step_fn(state, ds, key)
+
+        path = os.path.join(tmp_path, "logs", "latest.npz")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        save_checkpoint(path, int(state.step), state.params, state.opt_state)
+
+        found = latest_checkpoint(os.path.join(tmp_path, "logs"))
+        assert found == path
+        step, params, opt_tree, _ = load_checkpoint(found)
+        opt_state = restore_opt_state(state.opt_state, opt_tree)
+        resumed = TrainState(params=params, opt_state=opt_state,
+                             step=jnp.asarray(step, jnp.int32))
+        # continues identically to the uninterrupted run
+        cont1, m1 = step_fn(state, ds, key)
+        cont2, m2 = step_fn(resumed, ds, key)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+
+    def test_numbered_vs_latest(self, tmp_path):
+        tc = TrainConfig()
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc, 4)
+        logdir = str(tmp_path)
+        save_checkpoint(os.path.join(logdir, "050000.npz"), 50000,
+                        state.params)
+        save_checkpoint(os.path.join(logdir, "latest.npz"), 51000,
+                        state.params)
+        assert latest_checkpoint(logdir).endswith("latest.npz")
