@@ -1,0 +1,98 @@
+"""Benchmark: NR-NeRF training throughput on the available accelerator.
+
+Measures the full reference training workload — 1024 rays/step, 64 coarse +
+64 importance samples through coarse+fine 8x256 MLPs with ray bending,
+rigidity, offsets + divergence + rigidity losses, Adam — as one fused jitted
+step on device, on the example_sequence data when available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline: the reference publishes no absolute numbers (BASELINE.md). The
+documented estimate used here: PyTorch NR-NeRF trains 200k iters in ~1 day
+on a V100 at N_rand=1024 => ~2.3 it/s => ~2400 train rays/sec. vs_baseline
+is measured rays/sec divided by that.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+V100_BASELINE_RAYS_PER_SEC = 2400.0
+EXAMPLE_DATA = "/root/reference/data/example_sequence"
+
+
+def build_dataset():
+    from nonrigid_nerf_tpu.data import (
+        load_llff_data, get_multi_view_mappings, get_intrinsics,
+        block_train_test_split, build_ray_dataset)
+    if os.path.isdir(EXAMPLE_DATA):
+        images, poses, bds, _, _ = load_llff_data(EXAMPLE_DATA, factor=1)
+        extras = get_multi_view_mappings(len(images), EXAMPLE_DATA)
+        intrin = get_intrinsics(EXAMPLE_DATA, extras, images, poses[0, :, 4])
+        i_train, i_test = block_train_test_split(
+            len(extras["raw_timesteps"]), extras["imageid_to_timestepid"])
+        near, far = float(bds.min()) * 0.9, float(bds.max())
+        return build_ray_dataset(images, poses[:, :3, :4], intrin, extras,
+                                 i_train, i_test, near, far)
+    # synthetic fallback with the example_sequence geometry
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _synthetic_dataset
+    return _synthetic_dataset(n_images=86, H=384, W=512)
+
+
+def main():
+    import jax
+    from nonrigid_nerf_tpu.config import (ModelConfig, RenderSettings,
+                                          TrainConfig)
+    from nonrigid_nerf_tpu.engine.train_state import create_train_state
+    from nonrigid_nerf_tpu.engine.train_step import make_train_step
+
+    ds = build_dataset()
+    cfg = ModelConfig()
+    tc = TrainConfig(N_rand=1024, offsets_loss_weight=60.0,
+                     divergence_loss_weight=3.0, rigidity_loss_weight=5e-4,
+                     N_iters=200000)
+    rs = RenderSettings(near=ds.near, far=ds.far, raw_noise_std=1.0)
+
+    state = create_train_state(jax.random.PRNGKey(0), cfg, tc,
+                               ds.num_timesteps)
+    step_fn = make_train_step(cfg, tc, rs, has_test_split=False)
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup. NOTE: on the tunneled TPU platform block_until_ready
+    # can return before remote execution completes; fetching the scalar value
+    # is the only reliable synchronization, so all timing fences below are
+    # float(...) fetches.
+    state, metrics = step_fn(state, ds, key)
+    float(metrics["loss"])
+    for _ in range(10):
+        state, metrics = step_fn(state, ds, key)
+    float(metrics["loss"])
+
+    n_steps = 600
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, ds, key)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = tc.N_rand * n_steps / dt
+    result = {
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / V100_BASELINE_RAYS_PER_SEC, 2),
+        "steps_per_sec": round(n_steps / dt, 2),
+        "config": "example_sequence defaults (N_rand=1024, 64+64 samples, "
+                  "full NR-NeRF losses)",
+        "device": str(jax.devices()[0]),
+        "final_psnr_sample": round(float(metrics["psnr"]), 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
