@@ -1,0 +1,344 @@
+#!/usr/bin/env python
+"""NR-NeRF training CLI.
+
+Usage mirrors the reference: `python train.py --config configs/<scene>.txt`
+(reference: train.py:2004-2016). Every flag of the reference's config_parser
+(train.py:983-1219) is accepted on the command line or in the config file.
+
+Orchestration per the reference main_function (train.py:1325-1953): load
+data -> dump args.txt/config.txt -> snapshot the code into backup/ -> build
+model + optimizer -> auto-resume -> volume extent probe (cameras.obj) ->
+train loop with periodic checkpoints / spiral videos / test-set renders.
+
+The hot loop itself is the fused jitted step from
+nonrigid_nerf_tpu.engine.train_step (multi-device via parallel.mesh when
+more than one device is visible).
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.realpath(__file__)))
+
+from nonrigid_nerf_tpu import config as cfg_mod
+from nonrigid_nerf_tpu.config import (Args, DEFAULTS, EditConfig,
+                                      model_config_from_args,
+                                      parse_config_file,
+                                      render_settings_from_args,
+                                      train_config_from_args)
+
+
+def config_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native NR-NeRF training")
+    parser.add_argument("--config", type=str, default=None,
+                        help="config file path (key = value lines)")
+    for key, default in DEFAULTS.items():
+        if key == "config":
+            continue
+        if key in cfg_mod._BOOL_KEYS:
+            parser.add_argument(f"--{key}", default=None,
+                                action="store_true")
+        elif key in cfg_mod._INT_KEYS:
+            parser.add_argument(f"--{key}", type=int, default=None)
+        elif key in cfg_mod._FLOAT_KEYS:
+            parser.add_argument(f"--{key}", type=float, default=None)
+        else:
+            parser.add_argument(f"--{key}", type=str, default=None)
+    return parser
+
+
+def parse_args(argv=None) -> Args:
+    ns = config_parser().parse_args(argv)
+    values = {}
+    config_path = ns.config
+    if config_path is None:
+        default_cfg = cfg_mod.default_config_path()
+        if os.path.exists(default_cfg):
+            config_path = default_cfg
+    if config_path is not None:
+        values.update(parse_config_file(config_path))
+        values["config"] = config_path
+    for key, val in vars(ns).items():
+        if key != "config" and val is not None:
+            values[key] = val
+    return Args(**values)
+
+
+def create_folder(folder):
+    os.makedirs(folder, exist_ok=True)
+
+
+def backup(results_folder: str) -> None:
+    """Snapshot the framework source + default config into backup/ so the
+    experiment is self-contained (reference: train.py:1962-2001); inference
+    imports this snapshot (reference: free_viewpoint_rendering.py:18-30)."""
+    print("backing up... ", flush=True, end="")
+    this_folder = os.path.dirname(os.path.realpath(__file__))
+    backup_folder = os.path.join(results_folder, "backup")
+    create_folder(backup_folder)
+
+    for fname in ("train.py", "free_viewpoint_rendering.py", "preprocess.py",
+                  "bench.py", "configs/default.txt"):
+        src = os.path.join(this_folder, fname)
+        if os.path.exists(src):
+            dst = os.path.join(backup_folder, fname)
+            create_folder(os.path.dirname(dst))
+            shutil.copyfile(src, dst)
+
+    for root, _, files in os.walk(os.path.join(this_folder,
+                                               "nonrigid_nerf_tpu")):
+        rel = os.path.relpath(root, this_folder)
+        if "__pycache__" in rel:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                dst_dir = os.path.join(backup_folder, rel)
+                create_folder(dst_dir)
+                shutil.copyfile(os.path.join(root, f),
+                                os.path.join(dst_dir, f))
+    print("done.", flush=True)
+
+
+def load_dataset(args: Args):
+    """Data loading + mappings + intrinsics + split + bounds
+    (reference: main_function setup, train.py:1336-1430)."""
+    from nonrigid_nerf_tpu.data import (block_train_test_split,
+                                        build_ray_dataset, get_intrinsics,
+                                        get_multi_view_mappings,
+                                        load_llff_data,
+                                        load_llff_data_multi_view)
+    if args.dataset_type != "llff":
+        raise ValueError(f"Unknown dataset type {args.dataset_type}")
+
+    datadir = args.datadir
+    multi_view = os.path.exists(
+        os.path.join(datadir, "image_to_camera_id_and_timestep.json"))
+    loader = load_llff_data_multi_view if multi_view else load_llff_data
+    images, poses, bds, render_poses, _ = loader(datadir, factor=args.factor)
+    extras = get_multi_view_mappings(images.shape[0], datadir)
+    hwf = poses[0, :3, 4]
+    intrinsics = get_intrinsics(
+        datadir, extras, images, hwf, factor=1,
+        ray_bending_latent_size=args.ray_bending_latent_size)
+
+    i_train, i_test = block_train_test_split(
+        len(extras["raw_timesteps"]), extras["imageid_to_timestepid"],
+        args.train_block_size, args.test_block_size)
+
+    near = float(np.min(bds)) * 0.9
+    far = float(np.max(bds))
+    print(f"Loaded llff {images.shape} near={near:.4f} far={far:.4f} "
+          f"{'multi-view' if multi_view else 'monocular'}")
+    print("TRAIN views are", i_train)
+    print("TEST views are", i_test)
+
+    ds = build_ray_dataset(images, poses[:, :3, :4], intrinsics, extras,
+                           i_train, i_test, near, far)
+    return ds, images, poses, render_poses, intrinsics, extras, i_train, i_test
+
+
+def main_function(args: Args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from nonrigid_nerf_tpu.apps.render_path import render_path
+    from nonrigid_nerf_tpu.checkpoints import (latest_checkpoint,
+                                               load_checkpoint,
+                                               restore_opt_state,
+                                               save_checkpoint)
+    from nonrigid_nerf_tpu.engine.train_state import (TrainState,
+                                                      create_train_state)
+    from nonrigid_nerf_tpu.engine.train_step import make_train_step
+    from nonrigid_nerf_tpu.ops.math import to8b
+    from nonrigid_nerf_tpu.parallel import (make_mesh,
+                                            make_parallel_train_step)
+    from nonrigid_nerf_tpu.utils.viz import disparity_to_jet
+    from nonrigid_nerf_tpu.utils.volume import determine_nerf_volume_extent
+
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
+
+    (ds, images, poses, render_poses, intrinsics, extras,
+     i_train, i_test) = load_dataset(args)
+
+    logdir = os.path.join(args.rootdir, args.expname, "logs")
+    create_folder(logdir)
+    args.dump(os.path.join(logdir, "args.txt"))
+    if args.config is not None and os.path.exists(args.config):
+        shutil.copyfile(args.config, os.path.join(logdir, "config.txt"))
+
+    cfg = model_config_from_args(args)
+    tc = train_config_from_args(args)
+    rs = render_settings_from_args(args, ds.near, ds.far)
+
+    state = create_train_state(
+        jax.random.PRNGKey(tc.seed), cfg, tc, ds.num_timesteps)
+
+    # auto-resume (reference: train.py:666-694)
+    start = 0
+    ckpt_path = args.ft_path or latest_checkpoint(logdir)
+    if ckpt_path and not args.no_reload and os.path.exists(ckpt_path):
+        print("Reloading from", ckpt_path)
+        start, params, opt_tree, _ = load_checkpoint(ckpt_path)
+        opt_state = restore_opt_state(state.opt_state, opt_tree) \
+            if opt_tree is not None else state.opt_state
+        state = TrainState(params=params, opt_state=opt_state,
+                           step=jnp.asarray(start, jnp.int32))
+
+    # volume extent probe + cameras.obj (reference: train.py:1485-1489)
+    probe_intrinsics = [intrinsics[extras["imageid_to_viewid"][i]]
+                        for i in range(poses.shape[0])]
+    min_point, max_point = determine_nerf_volume_extent(
+        state.params, cfg, rs, poses[:, :3, :4], probe_intrinsics,
+        output_folder=logdir)
+    scripts_dict = {"near": ds.near, "far": ds.far,
+                    "min_nerf_volume_point": min_point.tolist(),
+                    "max_nerf_volume_point": max_point.tolist(),
+                    "image_folder": "images"}
+
+    n_devices = len(jax.devices())
+    has_test_split = len(i_test) > 0
+    if n_devices > 1:
+        mesh = make_mesh()
+        step_fn = make_parallel_train_step(cfg, tc, rs, mesh, has_test_split)
+        print(f"data-parallel training over {n_devices} devices")
+    else:
+        step_fn = make_train_step(cfg, tc, rs, has_test_split)
+
+    def checkpoint_extras():
+        return {
+            "intrinsics": {str(k): {kk: vv for kk, vv in v.items()}
+                           for k, v in intrinsics.items()},
+            "scripts_dict": scripts_dict,
+            "dataset_extras": {
+                k: v for k, v in extras.items()
+                if isinstance(v, (list, bool, int, float, str))},
+        }
+
+    key = jax.random.PRNGKey(tc.seed + 1)
+    print(f"Begin training at step {start} -> {args.N_iters}", flush=True)
+    t0 = time.time()
+    metrics = None
+    for i in range(start + 1, args.N_iters + 1):
+        state, metrics = step_fn(state, ds, key)
+
+        if i % args.i_print == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            t0 = time.time()
+            parts = [f"[TRAIN] Iter: {i}",
+                     f"Loss: {m['loss']:.5f}", f"PSNR: {m['psnr']:.2f}"]
+            if "img_loss0" in m:
+                parts.append(f"coarse: {m['img_loss0']:.5f}")
+            if "offsets_loss" in m:
+                parts.append(f"offsets: {m['offsets_loss']:.6f}")
+            if "divergence_loss" in m:
+                parts.append(f"div: {m['divergence_loss']:.6f}")
+            parts.append(f"({args.i_print / dt:.1f} it/s)")
+            print(" ".join(parts), flush=True)
+
+        if i % args.i_weights == 0:
+            if i % 50000 == 0:
+                path = os.path.join(logdir, f"{i:06d}.npz")
+            else:
+                path = os.path.join(logdir, "latest.npz")
+            save_checkpoint(path, i, state.params, state.opt_state,
+                            checkpoint_extras())
+            if path.endswith(f"{i:06d}.npz"):
+                shutil.copyfile(path, os.path.join(logdir, "latest.npz"))
+            print("Saved checkpoint at", path, flush=True)
+
+        if i % args.i_video == 0 and i > 0 and len(render_poses) > 0 \
+                and len(i_test) > 0 and not extras["is_multiview"]:
+            print("rendering video...", flush=True)
+            latents_np = np.asarray(state.params["latents"])
+            if args.render_test:
+                frame_latents = np.stack(
+                    [latents_np[extras["imageid_to_timestepid"][j]]
+                     for j in i_test])
+                video_poses = poses[i_test]
+            else:
+                frame_latents = np.tile(
+                    latents_np[extras["imageid_to_timestepid"][i_test[0]]],
+                    (len(render_poses), 1))
+                video_poses = render_poses
+            rgbs, disps = render_path(
+                state.params, cfg, rs, video_poses[:, :3, :4],
+                [intrinsics[0]] * len(video_poses), frame_latents,
+                chunk=args.chunk, render_factor=args.render_factor)
+            moviebase = os.path.join(
+                logdir, f"{args.expname}_spiral_{i:06d}_")
+            try:
+                import imageio.v2 as imageio
+                imageio.mimwrite(moviebase + "rgb.mp4", to8b(rgbs), fps=30,
+                                 quality=8)
+                imageio.mimwrite(moviebase + "disp.mp4",
+                                 to8b(disps / np.max(disps)), fps=30,
+                                 quality=8)
+                imageio.mimwrite(
+                    moviebase + "disp_jet.mp4",
+                    to8b(np.stack([disparity_to_jet(d / np.max(disps))
+                                   for d in disps])), fps=30, quality=8)
+            except Exception as e:
+                print("video write failed (ffmpeg missing?):", e)
+
+        if i % args.i_testset == 0 and i > 0:
+            trainsubsavedir = os.path.join(logdir, f"trainsubset_{i:06d}")
+            create_folder(trainsubsavedir)
+            i_train_sub = i_train
+            if len(i_test) > 0 and i < args.N_iters + 1 - args.i_video:
+                stride = max(1, int(len(i_train_sub) / max(len(i_test), 1)
+                                    + 0.5))
+                i_train_sub = i_train_sub[::stride]
+            latents_np = np.asarray(state.params["latents"])
+
+            def latents_for(ids):
+                return np.stack(
+                    [latents_np[extras["imageid_to_timestepid"][j]]
+                     for j in ids])
+
+            render_path(
+                state.params, cfg, rs, poses[i_train_sub][:, :3, :4],
+                [intrinsics[extras["imageid_to_viewid"][j]]
+                 for j in i_train_sub],
+                latents_for(i_train_sub), chunk=args.chunk,
+                gt_imgs=images[i_train_sub], savedir=trainsubsavedir,
+                render_factor=args.render_factor)
+            print("Saved some training images", flush=True)
+
+            if len(i_test) > 0:
+                testsavedir = os.path.join(logdir, f"testset_{i:06d}")
+                create_folder(testsavedir)
+                render_path(
+                    state.params, cfg, rs, poses[i_test][:, :3, :4],
+                    [intrinsics[extras["imageid_to_viewid"][j]]
+                     for j in i_test],
+                    latents_for(i_test), chunk=args.chunk,
+                    gt_imgs=images[i_test], savedir=testsavedir,
+                    render_factor=args.render_factor)
+                print("Saved test set", flush=True)
+
+    # final checkpoint
+    if metrics is not None:
+        save_checkpoint(os.path.join(logdir, "latest.npz"), args.N_iters,
+                        state.params, state.opt_state, checkpoint_extras())
+        print(f"training done at step {int(state.step)}; final loss "
+              f"{float(metrics['loss']):.5f}", flush=True)
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    results_folder = os.path.join(args.rootdir, args.expname)
+    print(results_folder, flush=True)
+    create_folder(results_folder)
+    if args.no_reload:
+        shutil.rmtree(results_folder)
+        create_folder(results_folder)
+    backup(results_folder)
+    main_function(args)
