@@ -1,0 +1,334 @@
+#!/usr/bin/env python
+"""Free-viewpoint rendering, scene editing, and evaluation of a trained
+NR-NeRF experiment.
+
+CLI mirrors the reference (reference: free_viewpoint_rendering.py:880-941):
+
+  python free_viewpoint_rendering.py --input <experiment folder>
+      --deformations {train,test,all}
+      --camera_path {input_reconstruction,fixed,spiral} [--fixed_view N]
+      [--forced_background_stabilization T] [--motion_factor F]
+      [--foreground_removal T] [--render_canonical] [--output_video_fps N]
+
+Per frame it writes rgb / correspondences / rigidity(+jet) / disp(+jet,
++phong) PNGs and mp4 videos; `fixed` paths additionally produce the
+background-stability standard-deviation image, and `input_reconstruction`
+paths a PSNR/SSIM/LPIPS `scores.json` with error-map folders
+(reference: free_viewpoint_rendering.py:568-876).
+
+TPU-first difference: the correspondence + rigidity visualizations need the
+median-visibility surface sample per pixel; the reference hauls the full
+(H, W, samples, 3) detail tensors to the host in windows of 10 frames.
+Here that reduction runs inside the jitted renderer (see `_surface_post`),
+so only compact (H, W, 3) maps leave the device.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO_DIR = os.path.dirname(os.path.realpath(__file__))
+sys.path.insert(0, REPO_DIR)
+
+
+def create_folder(folder):
+    os.makedirs(folder, exist_ok=True)
+
+
+def load_experiment(input_folder: str):
+    """Load args + checkpoint of a trained experiment. Prefers the
+    experiment's own backup/ code snapshot so old experiments render with
+    their training-time code (reference: free_viewpoint_rendering.py:18-34)."""
+    backup = os.path.join(input_folder, "backup")
+    if os.path.isdir(os.path.join(backup, "nonrigid_nerf_tpu")):
+        sys.path.insert(0, backup)
+
+    from nonrigid_nerf_tpu.checkpoints import (latest_checkpoint,
+                                               load_checkpoint)
+    from nonrigid_nerf_tpu.config import Args, parse_config_file
+
+    logdir = os.path.join(input_folder, "logs")
+    args = Args(**parse_config_file(os.path.join(logdir, "args.txt")))
+    ckpt_path = latest_checkpoint(logdir)
+    if ckpt_path is None:
+        raise FileNotFoundError(f"no checkpoint found under {logdir}")
+    step, params, _, extras = load_checkpoint(ckpt_path)
+    print(f"loaded checkpoint {ckpt_path} at step {step}")
+    return args, params, extras
+
+
+def _surface_post(out):
+    """Device-side extraction of the median-visibility surface sample:
+    canonical-space position + rigidity per pixel
+    (reference host-side analog: free_viewpoint_rendering.py:616-658)."""
+    import jax.numpy as jnp
+    w = out.get("fine_visibility_weights", out.get("visibility_weights"))
+    pts = out.get("fine_input_pts", out.get("input_pts"))
+    acc = jnp.cumsum(w, axis=-1)
+    idx = jnp.argmin(jnp.abs(acc - 0.5), axis=-1)        # (R,)
+    surface = jnp.take_along_axis(pts, idx[:, None, None], axis=-2)[:, 0]
+    res = {"rgb_map": out["rgb_map"], "disp_map": out["disp_map"],
+           "surface_points": surface}
+    rig_key = "fine_rigidity_mask" if "fine_rigidity_mask" in out else (
+        "rigidity_mask" if "rigidity_mask" in out else None)
+    if rig_key is not None:
+        rig = jnp.take_along_axis(out[rig_key][..., 0], idx[:, None],
+                                  axis=-1)[:, 0]
+        res["surface_rigidity"] = rig
+    return res
+
+
+def free_viewpoint_rendering(fvr_args):
+    args, params, ckpt_extras = load_experiment(fvr_args.input)
+
+    import jax.numpy as jnp
+
+    from nonrigid_nerf_tpu.config import (EditConfig, model_config_from_args,
+                                          render_settings_from_args)
+    from nonrigid_nerf_tpu.engine.render import make_ray_renderer
+    from nonrigid_nerf_tpu.ops.math import to8b
+    from nonrigid_nerf_tpu.ops.rays import get_rays
+    from nonrigid_nerf_tpu.utils.metrics import lpips_distance, psnr, ssim
+    from nonrigid_nerf_tpu.utils.video import write_video
+    from nonrigid_nerf_tpu.utils.viz import (disparity_to_blinn_phong,
+                                             disparity_to_jet)
+    import train as train_module
+
+    # output folder name encodes path + edits
+    # (reference: free_viewpoint_rendering.py:425-446)
+    output_name = fvr_args.deformations + "_" + fvr_args.camera_path
+    if fvr_args.camera_path == "fixed":
+        output_name += "_" + str(fvr_args.fixed_view)
+    if fvr_args.forced_background_stabilization is not None:
+        output_name += "_fbs_" + str(fvr_args.forced_background_stabilization)
+    if fvr_args.motion_factor is not None:
+        output_name += "_exaggeration_" + str(fvr_args.motion_factor)
+    if fvr_args.foreground_removal is not None:
+        output_name += "_removal_" + str(fvr_args.foreground_removal)
+    if fvr_args.render_canonical:
+        output_name += "_canonical"
+    output_folder = os.path.join(fvr_args.input, "output", output_name)
+    create_folder(output_folder)
+
+    # reload the dataset this experiment was trained on
+    (ds, images, poses, render_poses, intrinsics, extras,
+     i_train, i_test) = train_module.load_dataset(args)
+
+    cfg = model_config_from_args(args)
+    rs = render_settings_from_args(args, ds.near, ds.far).test_mode()
+    edit = EditConfig(
+        rigidity_test_time_cutoff=fvr_args.forced_background_stabilization,
+        test_time_scaling=fvr_args.motion_factor,
+        nonrigid_object_removal_threshold=fvr_args.foreground_removal,
+        render_canonical=fvr_args.render_canonical)
+
+    latents = np.asarray(params["latents"])      # (T, L)
+    frame_latents = np.stack(
+        [latents[extras["imageid_to_timestepid"][i]]
+         for i in range(len(images))])           # (N, L)
+
+    # deformation subset (reference: free_viewpoint_rendering.py:494-509)
+    if fvr_args.deformations == "train":
+        indices = np.asarray(i_train)
+    elif fvr_args.deformations == "test":
+        indices = np.asarray(i_test)
+    elif fvr_args.deformations == "all":
+        indices = np.arange(len(images))
+    else:
+        raise ValueError("invalid --deformations argument")
+    if len(indices) == 0:
+        raise ValueError(f"deformation subset {fvr_args.deformations!r} "
+                         "is empty for this experiment")
+    sub_poses = poses[indices]
+    sub_latents = frame_latents[indices]
+    sub_images = images[indices]
+
+    # camera path (reference: free_viewpoint_rendering.py:520-545)
+    num_frames = len(indices)
+    if fvr_args.camera_path == "input_reconstruction":
+        path_poses = sub_poses
+        path_intrinsics = [intrinsics[extras["imageid_to_viewid"][i]]
+                           for i in indices]
+    elif fvr_args.camera_path == "fixed":
+        fixed = fvr_args.fixed_view
+        path_poses = np.tile(poses[fixed][None], (num_frames, 1, 1))
+        path_intrinsics = [intrinsics[extras["imageid_to_viewid"][fixed]]
+                           ] * num_frames
+    elif fvr_args.camera_path == "spiral":
+        reps = -(-num_frames // max(len(render_poses), 1))
+        path_poses = np.concatenate([np.asarray(render_poses)] * reps,
+                                    0)[:num_frames]
+        path_intrinsics = [intrinsics[extras["imageid_to_viewid"][0]]
+                           ] * num_frames
+    else:
+        raise ValueError("invalid --camera_path argument")
+
+    # render all frames with the device-side surface extraction
+    rgbs, disps, corr_rgbs, rigidities = [], [], [], []
+    min_pt = np.asarray(ckpt_extras.get("scripts_dict", {}).get(
+        "min_nerf_volume_point", [-1.0, -1.0, -1.0])).reshape(1, 1, 3)
+    max_pt = np.asarray(ckpt_extras.get("scripts_dict", {}).get(
+        "max_nerf_volume_point", [1.0, 1.0, 1.0])).reshape(1, 1, 3)
+
+    renderer_cache = {}
+    for f in range(num_frames):
+        intrin = path_intrinsics[f]
+        H, W = int(intrin["height"]), int(intrin["width"])
+        if (H, W) not in renderer_cache:
+            renderer_cache[(H, W)] = make_ray_renderer(
+                cfg, rs, edit=edit, chunk=min(args.chunk, H * W),
+                detailed=True, postprocess=_surface_post)
+        render_fn = renderer_cache[(H, W)]
+
+        rays_o, rays_d = get_rays(
+            jnp.asarray(np.asarray(path_poses[f])[:3, :4], jnp.float32),
+            intrin)
+        lat = jnp.broadcast_to(jnp.asarray(sub_latents[f]).reshape(1, -1),
+                               (H * W, sub_latents.shape[-1]))
+        out = render_fn(params, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+                        lat, None)
+        rgbs.append(np.asarray(out["rgb_map"]).reshape(H, W, 3))
+        disps.append(np.asarray(out["disp_map"]).reshape(H, W))
+
+        surface = np.asarray(out["surface_points"]).reshape(H, W, 3)
+        corr = (surface - min_pt) / (max_pt - min_pt)
+        voxels = 100  # small-voxel checkerboard for visibility of motion
+        corr = corr * voxels
+        corr = corr - corr.astype(int)
+        corr_rgbs.append(corr)
+        if "surface_rigidity" in out:
+            rigidities.append(
+                np.asarray(out["surface_rigidity"]).reshape(H, W))
+        print(f"rendered frame {f + 1}/{num_frames}", flush=True)
+
+    rgbs = np.stack(rgbs)
+    disps = np.stack(disps)
+    corr_rgbs = np.stack(corr_rgbs)
+    use_rigidity = len(rigidities) == num_frames
+
+    # store per-frame images (reference: free_viewpoint_rendering.py:666-704)
+    import imageio.v2 as imageio
+    disp_max = max(float(disps.max()), 1e-10)
+    for i in range(num_frames):
+        post = f"_{i:06d}.png"
+        imageio.imwrite(os.path.join(output_folder, "rgb" + post),
+                        to8b(rgbs[i]))
+        imageio.imwrite(os.path.join(output_folder, "correspondences" + post),
+                        to8b(corr_rgbs[i]))
+        raw_disp = disps[i] / max(float(disps[i].max()), 1e-10)
+        imageio.imwrite(os.path.join(output_folder, "disp" + post),
+                        to8b(raw_disp))
+        imageio.imwrite(os.path.join(output_folder, "disp_jet" + post),
+                        to8b(disparity_to_jet(raw_disp)))
+        imageio.imwrite(os.path.join(output_folder, "disp_phong" + post),
+                        to8b(disparity_to_blinn_phong(raw_disp)))
+        if use_rigidity:
+            imageio.imwrite(os.path.join(output_folder, "rigidity" + post),
+                            to8b(rigidities[i]))
+            imageio.imwrite(
+                os.path.join(output_folder, "rigidity_jet" + post),
+                to8b(disparity_to_jet(rigidities[i])))
+
+    # videos (reference: free_viewpoint_rendering.py:706-768)
+    fps = fvr_args.output_video_fps
+    vp = os.path.join(output_folder, "video_")
+    write_video(vp + "rgb.mp4", to8b(rgbs), fps)
+    write_video(vp + "correspondences.mp4", to8b(corr_rgbs), fps)
+    write_video(vp + "disp.mp4", to8b(disps / disp_max), fps)
+    write_video(vp + "disp_jet.mp4",
+                np.stack([to8b(disparity_to_jet(d / disp_max))
+                          for d in disps]), fps)
+    write_video(vp + "disp_phong.mp4",
+                np.stack([to8b(disparity_to_blinn_phong(d / disp_max))
+                          for d in disps]), fps)
+    if use_rigidity:
+        write_video(vp + "rigidity.mp4",
+                    np.stack([to8b(r) for r in rigidities]), fps)
+        write_video(vp + "rigidity_jet.mp4",
+                    np.stack([to8b(disparity_to_jet(r))
+                              for r in rigidities]), fps)
+
+    # background stability (reference: free_viewpoint_rendering.py:771-785)
+    if fvr_args.camera_path == "fixed":
+        std = 10.0 * np.mean(np.std(rgbs, axis=0), axis=-1)
+        imageio.imwrite(
+            os.path.join(output_folder, "standard_deviations.png"),
+            to8b(disparity_to_jet(np.clip(std, 0.0, 1.0))))
+
+    # quantitative evaluation
+    # (reference: free_viewpoint_rendering.py:787-876)
+    if fvr_args.camera_path == "input_reconstruction":
+        naive_folder = os.path.join(output_folder, "naive_errors")
+        ssim_folder = os.path.join(output_folder, "ssim_errors")
+        create_folder(naive_folder)
+        create_folder(ssim_folder)
+
+        # undistortion can leave masked-out black pixels in groundtruth
+        mask = np.sum(sub_images[0], axis=-1) == 0.0
+        scores = {}
+        lpips_missing = False
+        for i in range(num_frames):
+            gt = sub_images[i].copy()
+            gen = rgbs[i].copy()
+            gt[mask] = 0.0
+            gen[mask] = 0.0
+
+            ssim_val, ssim_map = ssim(gt, gen, full=True)
+            lp = lpips_distance(gt, gen)
+            if lp is None:
+                lp, lpips_missing = 1.0, True
+            scores[i] = {"psnr": psnr(gt, gen), "ssim": ssim_val,
+                         "lpips": lp}
+
+            error = np.linalg.norm(gt - gen, axis=-1) / np.sqrt(3.0)
+            error = np.clip(error * 10.0, 0.0, 1.0)
+            imageio.imwrite(os.path.join(naive_folder, f"error_{i:03d}.png"),
+                            to8b(disparity_to_jet(error)))
+            ssim_err = 1.0 - np.mean(ssim_map, axis=-1)
+            imageio.imwrite(os.path.join(ssim_folder, f"error_{i:03d}.png"),
+                            to8b(disparity_to_jet(ssim_err)))
+
+        averaged = {
+            "average_psnr": float(np.mean([s["psnr"]
+                                           for s in scores.values()])),
+            "average_ssim": float(np.mean([s["ssim"]
+                                           for s in scores.values()])),
+            "average_lpips": float(np.mean([s["lpips"]
+                                            for s in scores.values()])),
+        }
+        if lpips_missing:
+            print("LPIPS implementation not found; lpips scores are the "
+                  "constant 1.0 placeholder (install `lpips` for real "
+                  "values)")
+        print(averaged, flush=True)
+        scores.update(averaged)
+        with open(os.path.join(output_folder, "scores.json"), "w") as f:
+            json.dump(scores, f, indent=4)
+
+    print("output written to", output_folder, flush=True)
+    return output_folder
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", type=str, required=True,
+                        help="experiment folder created by train.py")
+    parser.add_argument("--deformations", type=str, required=True,
+                        choices=["train", "test", "all"])
+    parser.add_argument("--camera_path", type=str, required=True,
+                        choices=["input_reconstruction", "fixed", "spiral"])
+    parser.add_argument("--fixed_view", type=int, default=0)
+    parser.add_argument("--forced_background_stabilization", type=float,
+                        default=None)
+    parser.add_argument("--motion_factor", type=float, default=None)
+    parser.add_argument("--foreground_removal", type=float, default=None)
+    parser.add_argument("--render_canonical", action="store_true")
+    parser.add_argument("--output_video_fps", type=int, default=5)
+    return parser
+
+
+if __name__ == "__main__":
+    free_viewpoint_rendering(build_parser().parse_args())

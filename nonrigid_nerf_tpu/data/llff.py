@@ -172,6 +172,12 @@ def load_llff_data(datadir: str, factor: int = 1, recenter: bool = True,
         bds = np.asarray(pre["bds"], np.float32)
         render_poses = np.asarray(pre["render_poses"], np.float32)
         i_test = pre["i_test"]
+        if factor > 1:
+            # precomputed hwf refers to the full-resolution images; rescale
+            # so hwf always matches the loaded image resolution
+            poses[:, 0, 4] = images.shape[1]
+            poses[:, 1, 4] = images.shape[2]
+            poses[:, 2, 4] /= factor
         return images, poses, bds, render_poses, i_test
 
     if os.path.exists(os.path.join(datadir, "poses_bounds.npy")):

@@ -101,12 +101,19 @@ def render_rays(params, cfg: ModelConfig, rs: RenderSettings,
 
 def make_ray_renderer(cfg: ModelConfig, rs: RenderSettings,
                       edit: EditConfig = EditConfig(), chunk: int = 32768,
-                      detailed: bool = False, jit: bool = True):
+                      detailed: bool = False, jit: bool = True,
+                      postprocess=None):
     """Build a renderer for arbitrarily many rays.
 
     Rays are padded to a multiple of `chunk` and streamed block-by-block with
     `lax.map` inside one jitted program (the TPU replacement for the
     reference's Python batchify_rays loop, train.py:108-137).
+
+    `postprocess(block_dict) -> dict` runs per block INSIDE the jitted
+    program — use it to reduce heavy per-sample internals (e.g. the
+    correspondence extraction in free-viewpoint rendering) to compact
+    per-ray outputs on device instead of hauling (rays, samples, ...)
+    tensors to the host.
 
     Returns fn(params, rays_o (N,3), rays_d (N,3), latents (N,L), key) -> dict.
     """
@@ -129,9 +136,10 @@ def make_ray_renderer(cfg: ModelConfig, rs: RenderSettings,
 
         def _block(args):
             ro_b, rd_b, lat_b, key_b = args
-            return render_rays(params, cfg, rs, ro_b, rd_b, lat_b,
-                               key=key_b if key is not None else None,
-                               edit=edit, detailed=detailed)
+            out = render_rays(params, cfg, rs, ro_b, rd_b, lat_b,
+                              key=key_b if key is not None else None,
+                              edit=edit, detailed=detailed)
+            return postprocess(out) if postprocess is not None else out
 
         out = jax.lax.map(_block, (ro, rd, lat, keys))
         return jax.tree_util.tree_map(
