@@ -62,6 +62,11 @@ class ModelConfig:
     # numerics: params are always fp32; compute may run in bf16 on TPU.
     compute_dtype: str = "float32"
 
+    # fused Pallas point-query kernel: "auto" uses it on TPU whenever the
+    # architecture + edit settings allow (see ops/pallas/fused_query.py),
+    # "on" forces it, "off" always uses the plain XLA path.
+    fused_kernel: str = "auto"
+
     def __post_init__(self):
         if self.ray_bending in ("None", "none", ""):
             object.__setattr__(self, "ray_bending", None)

@@ -45,6 +45,52 @@ def _finite_difference_viewdirs(bent_pts, eps: float = 1e-6):
     return jnp.concatenate([diffs[..., :1, :], diffs], axis=-2)  # (R, S, 3)
 
 
+def _edits_active(edit: EditConfig) -> bool:
+    return (edit.rigidity_test_time_cutoff is not None
+            or edit.test_time_scaling is not None
+            or edit.nonrigid_object_removal_threshold is not None
+            or edit.render_canonical)
+
+
+def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
+    from nonrigid_nerf_tpu.ops.pallas.fused_query import supports_fused_query
+    if cfg.fused_kernel == "off":
+        return False
+    if not supports_fused_query(cfg) or _edits_active(edit):
+        if cfg.fused_kernel == "on":
+            raise ValueError(
+                "fused_kernel='on' but the configuration (architecture, "
+                "viewdirs, or scene edits) is outside the kernel's support; "
+                "use fused_kernel='auto'")
+        return False
+    if cfg.fused_kernel == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fused_query_points(params, cfg: ModelConfig, pts, latents,
+                        network: str, detailed: bool):
+    """query_points via the fused Pallas kernel (ops/pallas/fused_query)."""
+    from nonrigid_nerf_tpu.ops.pallas.fused_query import fused_point_query
+    R, S = pts.shape[:-1]
+    latents_per_pt = jnp.broadcast_to(latents[..., None, :],
+                                      (R, S, latents.shape[-1]))
+    raw, offsets, rigidity = fused_point_query(params, pts, latents_per_pt,
+                                               multires=cfg.multires,
+                                               network=network)
+    if not detailed:
+        return raw
+    masked = rigidity * offsets
+    details = {
+        "initial_input_pts": jax.lax.stop_gradient(pts),
+        "unmasked_offsets": offsets,
+        "rigidity_mask": rigidity,
+        "masked_offsets": masked,
+        "input_pts": jax.lax.stop_gradient(pts + masked),
+    }
+    return raw, details
+
+
 def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
                  edit: EditConfig = EditConfig(), network: str = "coarse",
                  detailed: bool = False):
@@ -63,6 +109,10 @@ def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
 
     Returns raw (R, S, 4), or (raw, details) when detailed.
     """
+    if _use_fused_kernel(cfg, edit):
+        return _fused_query_points(params, cfg, pts, latents, network,
+                                   detailed)
+
     nerf_params = params[network]
     bender = params.get("bender") if cfg.use_ray_bending else None
     R, S = pts.shape[:-1]

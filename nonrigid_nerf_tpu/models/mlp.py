@@ -49,7 +49,13 @@ def dense_init(key, fan_in: int, fan_out: int, init: str = "torch_default",
 
 
 def dense_apply(layer, x, compute_dtype=None):
-    """y = x @ w + b, accumulating in float32 on the MXU."""
+    """y = x @ w + b, accumulating in float32 on the MXU.
+
+    With a low-precision compute_dtype (bf16), the OUTPUT is cast back to
+    that dtype as well: the hot path is HBM-bandwidth-bound on activation
+    traffic, so keeping inter-layer activations bf16 halves the bytes moved
+    (params and the final layer output stay f32).
+    """
     w = layer["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -57,4 +63,6 @@ def dense_apply(layer, x, compute_dtype=None):
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "b" in layer:
         y = y + layer["b"].astype(y.dtype)
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        y = y.astype(compute_dtype)
     return y

@@ -1,0 +1,455 @@
+"""Pallas TPU kernel: the fused NR-NeRF point-query chain.
+
+One kernel evaluates, per block of sample points, the ENTIRE inner hot loop
+(reference: NeRF.forward + ray_bending.forward,
+run_nerf_helpers.py:240-314,507-584):
+
+    bend MLP -> rigidity MLP -> bent points -> positional encoding ->
+    canonical NeRF MLP (8x256, skip at 4) -> raw (rgb, density)
+
+with every weight matrix resident in VMEM and NO intermediate activation
+ever written to HBM. The XLA version of this chain is HBM-bandwidth-bound
+(each 256-wide activation round-trips HBM between layers); here HBM traffic
+is just points + latents in, raw/offsets/rigidity out.
+
+Tricks:
+- lane-concat avoidance: every concat in the reference (pts||latent at the
+  bender input, skip concat at NeRF layer 4) becomes a SPLIT weight matrix:
+  concat(a, b) @ W == a @ W_a + b @ W_b.
+- positional encoding as one matmul: sin(bent @ P + phase), where P routes
+  coordinate j to channel c with gain 2^k and the phase selects sin/cos
+  (cos x = sin(x + pi/2)); the raw-xyz channels are selected by a lane mask.
+- backward (custom VJP) recomputes the forward inside VMEM per block
+  (flash-attention style); weight gradients accumulate in the f32 output
+  block, which stays VMEM-resident across the sequential TPU grid.
+
+Matmuls run in bf16 on the MXU with f32 accumulation (weights are stored
+f32 and cast in-kernel, so parameter gradients keep full precision); the
+positional encoding and all outputs stay f32 (sin of 2^9-scaled coordinates
+needs f32 mantissa).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# fixed architecture constants (the flagship config; see supports_fused_query)
+PTS_PAD = 8          # xyz padded to 8 lanes
+LAT = 32             # ray-bending latent size
+BW = 64              # bending hidden width
+RW = 32              # rigidity hidden width
+EMB = 64             # 63 encoding channels padded to 64
+NW = 256             # canonical MLP width
+OUT_PAD = 8          # raw output (4 channels consumed) padded to 8
+DEFAULT_BLOCK = 1024
+N_WEIGHTS = 37
+
+
+def supports_fused_query(cfg) -> bool:
+    """The kernel covers the flagship architecture: bending + rigidity on,
+    no view directions, default widths/depths, fourier encoding."""
+    return (cfg.use_ray_bending
+            and cfg.use_rigidity_network
+            and not cfg.use_viewdirs
+            and not cfg.time_conditioned_baseline
+            and cfg.i_embed == 0
+            and cfg.multires == 10
+            and cfg.netdepth == 8 and cfg.netwidth == NW
+            and tuple(cfg.skips) == (4,)
+            and cfg.bending_depth == 5 and cfg.bending_width == BW
+            and cfg.rigidity_depth == 3 and cfg.rigidity_width == RW
+            and cfg.ray_bending_latent_size == LAT)
+
+
+def _embedding_projection(multires: int = 10):
+    """P (PTS_PAD, EMB) and phase (EMB,) such that the reference encoding
+    [x, y, z, sin(2^k x..z), cos(2^k x..z), ...] equals
+    where(lane < 3, pre, sin(pre + phase)) with pre = pts_pad @ P."""
+    P = np.zeros((PTS_PAD, EMB), np.float32)
+    phase = np.zeros((EMB,), np.float32)
+    for j in range(3):
+        P[j, j] = 1.0
+    c = 3
+    for k in range(multires):
+        for is_cos in (0, 1):
+            for j in range(3):
+                P[j, c] = 2.0 ** k
+                phase[c] = (np.pi / 2.0) if is_cos else 0.0
+                c += 1
+    assert c == 63
+    return P, phase
+
+
+def pack_fused_weights(params, multires: int = 10, network: str = "coarse"):
+    """Flatten the model pytree into the kernel's padded f32 weight tuple.
+    See _forward_math for the unpack order."""
+    bend = params["bender"]["bend"]
+    rig = params["bender"]["rigidity"]
+    pts_layers = params[network]["pts"]
+    out_layer = params[network]["output"]
+
+    def pad_w(w, rows, cols):
+        out = jnp.zeros((rows, cols), jnp.float32)
+        return out.at[:w.shape[0], :w.shape[1]].set(w)
+
+    def pad_b(b, cols):
+        out = jnp.zeros((1, cols), jnp.float32)
+        return out.at[0, :b.shape[0]].set(b)
+
+    P, phase = _embedding_projection(multires)
+
+    ws = [
+        pad_w(bend[0]["w"][:3], PTS_PAD, BW),         # 0 bend0_p
+        bend[0]["w"][3:],                             # 1 bend0_l (LAT, BW)
+        pad_b(bend[0]["b"], BW),                      # 2
+        bend[1]["w"], pad_b(bend[1]["b"], BW),        # 3,4
+        bend[2]["w"], pad_b(bend[2]["b"], BW),        # 5,6
+        bend[3]["w"], pad_b(bend[3]["b"], BW),        # 7,8
+        pad_w(bend[4]["w"], BW, PTS_PAD),             # 9 bendo_w (no bias)
+        pad_w(rig[0]["w"][:3], PTS_PAD, RW),          # 10
+        pad_b(rig[0]["b"], RW),                       # 11
+        rig[1]["w"], pad_b(rig[1]["b"], RW),          # 12,13
+        pad_w(rig[2]["w"], RW, PTS_PAD),              # 14
+        pad_b(rig[2]["b"], PTS_PAD),                  # 15
+        jnp.asarray(P),                               # 16
+        jnp.asarray(phase).reshape(1, EMB),           # 17
+        pad_w(pts_layers[0]["w"], EMB, NW),           # 18 n0_w
+        pad_b(pts_layers[0]["b"], NW),                # 19
+    ]
+    for i in (1, 2, 3, 4):
+        ws += [pts_layers[i]["w"], pad_b(pts_layers[i]["b"], NW)]
+    # skip layer 5: input is concat([encoded(63), hidden(256)]) -> rows
+    # 0..62 are the encoded part, 63.. the hidden part
+    w5 = pts_layers[5]["w"]
+    ws += [
+        pad_w(w5[:63], EMB, NW),                      # 28 n5_e
+        w5[63:],                                      # 29 n5_h (NW, NW)
+        pad_b(pts_layers[5]["b"], NW),                # 30
+    ]
+    for i in (6, 7):
+        ws += [pts_layers[i]["w"], pad_b(pts_layers[i]["b"], NW)]
+    ws += [
+        pad_w(out_layer["w"][:, :4], NW, OUT_PAD),    # 35 out_w
+        pad_b(out_layer["b"][:4], OUT_PAD),           # 36
+    ]
+    assert len(ws) == N_WEIGHTS
+    return tuple(ws)
+
+
+def _mm(a, b):
+    """bf16 MXU matmul with f32 accumulation (weights cast in place)."""
+    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _embed(bent, P, phase):
+    pre = jnp.dot(bent, P, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    lane = jax.lax.broadcasted_iota(jnp.int32, pre.shape, 1)
+    emb = jnp.where(lane < 3, pre, jnp.sin(pre + phase))
+    return pre, lane, emb
+
+
+def _forward_math(pts, lat, w, return_acts: bool = False):
+    """The fused chain on VMEM-resident values. pts (B, PTS_PAD) f32,
+    lat (B, LAT) f32."""
+    (b0p, b0l, b0b, b1w, b1b, b2w, b2b, b3w, b3b, bow,
+     r0w, r0b, r1w, r1b, row, rob, P, phase,
+     n0w, n0b, n1w, n1b, n2w, n2b, n3w, n3b, n4w, n4b,
+     n5e, n5h, n5b, n6w, n6b, n7w, n7b, ow, ob) = w
+    bf16 = jnp.bfloat16
+
+    bh0 = jax.nn.relu(_mm(pts, b0p) + _mm(lat, b0l) + b0b).astype(bf16)
+    bh1 = jax.nn.relu(_mm(bh0, b1w) + b1b).astype(bf16)
+    bh2 = jax.nn.relu(_mm(bh1, b2w) + b2b).astype(bf16)
+    bh3 = jax.nn.relu(_mm(bh2, b3w) + b3b).astype(bf16)
+    offsets = _mm(bh3, bow)                                # (B, PTS_PAD) f32
+
+    rh0 = jax.nn.relu(_mm(pts, r0w) + r0b).astype(bf16)
+    rh1 = jax.nn.relu(_mm(rh0, r1w) + r1b).astype(bf16)
+    rig_raw = _mm(rh1, row) + rob
+    tanh_rr = jnp.tanh(rig_raw)
+    rigidity = (tanh_rr + 1.0) * 0.5
+    rig0 = rigidity[:, 0:1]
+
+    bent = pts + rig0 * offsets                 # padded lanes stay zero
+    pre, lane, emb = _embed(bent, P, phase)
+    embb = emb.astype(bf16)
+
+    nh1 = jax.nn.relu(_mm(embb, n0w) + n0b).astype(bf16)
+    nh2 = jax.nn.relu(_mm(nh1, n1w) + n1b).astype(bf16)
+    nh3 = jax.nn.relu(_mm(nh2, n2w) + n2b).astype(bf16)
+    nh4 = jax.nn.relu(_mm(nh3, n3w) + n3b).astype(bf16)
+    nh5 = jax.nn.relu(_mm(nh4, n4w) + n4b).astype(bf16)
+    nh6 = jax.nn.relu(_mm(nh5, n5h) + _mm(embb, n5e) + n5b).astype(bf16)
+    nh7 = jax.nn.relu(_mm(nh6, n6w) + n6b).astype(bf16)
+    nh8 = jax.nn.relu(_mm(nh7, n7w) + n7b).astype(bf16)
+    raw = _mm(nh8, ow) + ob                                # (B, OUT_PAD) f32
+
+    if not return_acts:
+        return raw, offsets, rigidity
+    acts = dict(bh0=bh0, bh1=bh1, bh2=bh2, bh3=bh3, rh0=rh0, rh1=rh1,
+                tanh_rr=tanh_rr, rig0=rig0, offsets=offsets, pre=pre,
+                lane=lane, embb=embb, nh1=nh1, nh2=nh2, nh3=nh3, nh4=nh4,
+                nh5=nh5, nh6=nh6, nh7=nh7, nh8=nh8)
+    return raw, offsets, rigidity, acts
+
+
+def _fwd_kernel(pts_ref, lat_ref, *rest):
+    w = [r[:] for r in rest[:N_WEIGHTS]]
+    raw_ref, off_ref, rig_ref = rest[N_WEIGHTS:]
+    raw, off, rig = _forward_math(pts_ref[:], lat_ref[:], w)
+    raw_ref[:] = raw
+    off_ref[:] = off
+    rig_ref[:] = rig
+
+
+def _io_spec(block, cols):
+    return pl.BlockSpec((block, cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_pallas(pts_pad, lat, weights, block: int):
+    n = pts_pad.shape[0]
+    grid = n // block
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    flops_per_pt = 2 * (PTS_PAD * BW + LAT * BW + 3 * BW * BW + BW * PTS_PAD
+                        + PTS_PAD * RW + RW * RW + RW * PTS_PAD
+                        + PTS_PAD * EMB + 2 * EMB * NW + 7 * NW * NW
+                        + NW * OUT_PAD)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(grid,),
+        in_specs=[_io_spec(block, PTS_PAD), _io_spec(block, LAT)] + w_specs,
+        out_specs=[_io_spec(block, OUT_PAD), _io_spec(block, PTS_PAD),
+                   _io_spec(block, PTS_PAD)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((n, PTS_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((n, PTS_PAD), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * n,
+            bytes_accessed=n * (PTS_PAD + LAT + OUT_PAD + 2 * PTS_PAD) * 4,
+            transcendentals=n * (EMB + PTS_PAD)),
+    )(pts_pad, lat, *weights)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_core(pts_pad, lat, weights, block):
+    return _fwd_pallas(pts_pad, lat, weights, block)
+
+
+def _fused_core_fwd(pts_pad, lat, weights, block):
+    out = _fwd_pallas(pts_pad, lat, weights, block)
+    return out, (pts_pad, lat, weights)
+
+
+def _bwd_kernel(pts_ref, lat_ref, *rest):
+    """Recompute the forward in VMEM, then backprop the whole chain.
+    Weight-gradient output blocks have a constant index map, so they stay
+    VMEM-resident across the sequential grid and act as f32 accumulators."""
+    w_refs = rest[:N_WEIGHTS]
+    draw_ref, doff_ref, drig_ref = rest[N_WEIGHTS:N_WEIGHTS + 3]
+    dpts_ref, dlat_ref = rest[N_WEIGHTS + 3:N_WEIGHTS + 5]
+    dw_refs = rest[N_WEIGHTS + 5:]
+    assert len(dw_refs) == N_WEIGHTS
+
+    w = [r[:] for r in w_refs]
+    (b0p, b0l, b0b, b1w, b1b, b2w, b2b, b3w, b3b, bow,
+     r0w, r0b, r1w, r1b, row, rob, P, phase,
+     n0w, n0b, n1w, n1b, n2w, n2b, n3w, n3b, n4w, n4b,
+     n5e, n5h, n5b, n6w, n6b, n7w, n7b, ow, ob) = w
+    bf16 = jnp.bfloat16
+    pts = pts_ref[:]
+    lat = lat_ref[:]
+
+    _, offsets, _, a = _forward_math(pts, lat, w, return_acts=True)
+
+    draw = draw_ref[:]
+    drawb = draw.astype(bf16)
+
+    def mmT_nt(x, wt):   # x (B, n) @ wt (m, n)^T -> (B, m), f32 accum
+        return jax.lax.dot_general(
+            x.astype(bf16), wt.astype(bf16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mmT_tn(act, g):  # act (B, m)^T @ g (B, n) -> (m, n), f32 accum
+        return jax.lax.dot_general(
+            act.astype(bf16), g.astype(bf16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def bsum(g):
+        return jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    g_ow = mmT_tn(a["nh8"], drawb)
+    g_ob = bsum(draw)
+    dh8 = (mmT_nt(drawb, ow) * (a["nh8"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n7w = mmT_tn(a["nh7"], dh8)
+    g_n7b = bsum(dh8)
+    dh7 = (mmT_nt(dh8, n7w) * (a["nh7"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n6w = mmT_tn(a["nh6"], dh7)
+    g_n6b = bsum(dh7)
+    dh6 = (mmT_nt(dh7, n6w) * (a["nh6"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n5h = mmT_tn(a["nh5"], dh6)
+    g_n5e = mmT_tn(a["embb"], dh6)
+    g_n5b = bsum(dh6)
+    demb = mmT_nt(dh6, n5e)
+    dh5 = (mmT_nt(dh6, n5h) * (a["nh5"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n4w = mmT_tn(a["nh4"], dh5)
+    g_n4b = bsum(dh5)
+    dh4 = (mmT_nt(dh5, n4w) * (a["nh4"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n3w = mmT_tn(a["nh3"], dh4)
+    g_n3b = bsum(dh4)
+    dh3 = (mmT_nt(dh4, n3w) * (a["nh3"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n2w = mmT_tn(a["nh2"], dh3)
+    g_n2b = bsum(dh3)
+    dh2 = (mmT_nt(dh3, n2w) * (a["nh2"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n1w = mmT_tn(a["nh1"], dh2)
+    g_n1b = bsum(dh2)
+    dh1 = (mmT_nt(dh2, n1w) * (a["nh1"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n0w = mmT_tn(a["embb"], dh1)
+    g_n0b = bsum(dh1)
+    demb = demb + mmT_nt(dh1, n0w)
+
+    # back through the encoding
+    dpre = jnp.where(a["lane"] < 3, demb,
+                     demb * jnp.cos(a["pre"] + phase))
+    dbent = jnp.dot(dpre, P.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+    # bent = pts + rig0 * offsets, plus direct cotangents on the extra
+    # outputs (offsets loss consumes unmasked offsets + rigidity)
+    doff_total = dbent * a["rig0"] + doff_ref[:]
+    drig0 = jnp.sum(dbent * offsets, axis=1, keepdims=True)   # (B, 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, drig_ref.shape, 1)
+    drig = drig_ref[:] + jnp.where(lane8 == 0, drig0, 0.0)
+    drig_raw = drig * 0.5 * (1.0 - a["tanh_rr"] * a["tanh_rr"])
+
+    g_row = mmT_tn(a["rh1"], drig_raw)
+    g_rob = bsum(drig_raw)
+    drh1 = (mmT_nt(drig_raw, row) * (a["rh1"].astype(jnp.float32) > 0)).astype(bf16)
+    g_r1w = mmT_tn(a["rh0"], drh1)
+    g_r1b = bsum(drh1)
+    drh0 = (mmT_nt(drh1, r1w) * (a["rh0"].astype(jnp.float32) > 0)).astype(bf16)
+    g_r0w = mmT_tn(pts, drh0)
+    g_r0b = bsum(drh0)
+    dpts_rig = mmT_nt(drh0, r0w)
+
+    g_bow = mmT_tn(a["bh3"], doff_total)
+    dbh3 = (mmT_nt(doff_total, bow) * (a["bh3"].astype(jnp.float32) > 0)).astype(bf16)
+    g_b3w = mmT_tn(a["bh2"], dbh3)
+    g_b3b = bsum(dbh3)
+    dbh2 = (mmT_nt(dbh3, b3w) * (a["bh2"].astype(jnp.float32) > 0)).astype(bf16)
+    g_b2w = mmT_tn(a["bh1"], dbh2)
+    g_b2b = bsum(dbh2)
+    dbh1 = (mmT_nt(dbh2, b2w) * (a["bh1"].astype(jnp.float32) > 0)).astype(bf16)
+    g_b1w = mmT_tn(a["bh0"], dbh1)
+    g_b1b = bsum(dbh1)
+    dbh0 = (mmT_nt(dbh1, b1w) * (a["bh0"].astype(jnp.float32) > 0)).astype(bf16)
+    g_b0p = mmT_tn(pts, dbh0)
+    g_b0l = mmT_tn(lat, dbh0)
+    g_b0b = bsum(dbh0)
+    dpts_bend = mmT_nt(dbh0, b0p)
+    dlat = mmT_nt(dbh0, b0l)
+
+    dpts_ref[:] = dbent + dpts_rig + dpts_bend
+    dlat_ref[:] = dlat
+
+    grads = [g_b0p, g_b0l, g_b0b, g_b1w, g_b1b, g_b2w, g_b2b, g_b3w, g_b3b,
+             g_bow, g_r0w, g_r0b, g_r1w, g_r1b, g_row, g_rob,
+             jnp.zeros_like(P), jnp.zeros_like(phase),
+             g_n0w, g_n0b, g_n1w, g_n1b, g_n2w, g_n2b, g_n3w, g_n3b,
+             g_n4w, g_n4b, g_n5e, g_n5h, g_n5b, g_n6w, g_n6b, g_n7w, g_n7b,
+             g_ow, g_ob]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for dw, g in zip(dw_refs, grads):
+            dw[:] = g
+
+    @pl.when(i > 0)
+    def _accum():
+        for dw, g in zip(dw_refs, grads):
+            dw[:] = dw[:] + g
+
+
+BWD_BLOCK = 512   # backward holds acts + weights + weight-grad accumulators
+                  # in VMEM simultaneously; 1024-pt blocks exceed the 16 MB
+                  # VMEM budget (measured: 512 fits, 26.4 MB at 1024)
+
+
+def _fused_core_bwd(block, residuals, cotangents):
+    pts_pad, lat, weights = residuals
+    draw, doff, drig = cotangents
+    n = pts_pad.shape[0]
+    block = min(block, BWD_BLOCK)
+    grid = n // block
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    # constant index map => the dw blocks stay resident in VMEM across the
+    # grid and serve as accumulators
+    dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for w in weights]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+
+    out = pl.pallas_call(
+        _bwd_kernel,
+        grid=(grid,),
+        in_specs=([_io_spec(block, PTS_PAD), _io_spec(block, LAT)] + w_specs
+                  + [_io_spec(block, OUT_PAD), _io_spec(block, PTS_PAD),
+                     _io_spec(block, PTS_PAD)]),
+        out_specs=[_io_spec(block, PTS_PAD), _io_spec(block, LAT)] + dw_specs,
+        out_shape=([jax.ShapeDtypeStruct((n, PTS_PAD), jnp.float32),
+                    jax.ShapeDtypeStruct((n, LAT), jnp.float32)]
+                   + dw_shapes),
+    )(pts_pad, lat, *weights, draw, doff, drig)
+
+    return out[0], out[1], tuple(out[2:])
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def fused_point_query(params, pts, latents, multires: int = 10,
+                      network: str = "coarse", block: int = DEFAULT_BLOCK):
+    """Evaluate the fused chain for pts (..., 3) with latents (..., LAT).
+
+    Returns (raw (..., 4), unmasked_offsets (..., 3), rigidity (..., 1)).
+    Differentiable wrt params, pts, and latents via the custom Pallas VJP.
+    """
+    weights = pack_fused_weights(params, multires, network)
+    shape = pts.shape[:-1]
+    n = int(np.prod(shape))
+    n_pad = -(-n // block) * block
+
+    pts_flat = pts.reshape(n, 3)
+    pts_pad = jnp.zeros((n_pad, PTS_PAD), jnp.float32)
+    pts_pad = pts_pad.at[:n, :3].set(pts_flat)
+    lat_pad = jnp.zeros((n_pad, LAT), jnp.float32)
+    lat_pad = lat_pad.at[:n].set(latents.reshape(n, LAT))
+
+    raw, off, rig = _fused_core(pts_pad, lat_pad, weights, block)
+    raw = raw[:n, :4].reshape(shape + (4,))
+    off = off[:n, :3].reshape(shape + (3,))
+    rig = rig[:n, 0:1].reshape(shape + (1,))
+    return raw, off, rig

@@ -177,8 +177,14 @@ def undistort(args, workers: int = 5):
               if f[-4:] in (".png", ".jpg")]
     tasks = [(i, f, distorted_folder, undistorted_folder, params,
               mask_folder) for i, f in enumerate(images)]
-    with Pool(workers) as pool:
-        pool.map(_undistort_one, tasks)
+    if workers <= 1:
+        # inline path: also safe inside processes that already initialized
+        # accelerator runtimes (fork-unsafe)
+        for task in tasks:
+            _undistort_one(task)
+    else:
+        with Pool(workers) as pool:
+            pool.map(_undistort_one, tasks)
 
     with open(os.path.join(args.output, "undistorted_calibration.txt"),
               "w") as f:

@@ -1,0 +1,192 @@
+"""Fused Pallas point-query kernel: parity with the XLA path.
+
+Runs in Pallas interpreter mode on CPU. The kernel computes matmuls in bf16
+(f32 accumulation), so forward/grad comparisons against the f32 XLA path use
+bf16-level tolerances; the backward *math* is additionally checked exactly
+against jax.grad of the kernel's own forward expression.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import nonrigid_nerf_tpu.ops.pallas.fused_query as fq
+from nonrigid_nerf_tpu.config import ModelConfig
+from nonrigid_nerf_tpu.models import init_nerf_params, init_bending_params
+from nonrigid_nerf_tpu.models.bending import bend_points
+from nonrigid_nerf_tpu.models.nerf import nerf_mlp_apply
+from nonrigid_nerf_tpu.ops.embedding import fourier_embed
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fq.pl, "pallas_call", patched)
+
+
+CFG = ModelConfig()
+
+
+def make_params(seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    params = {"coarse": init_nerf_params(ks[0], CFG),
+              "bender": init_bending_params(ks[1], CFG)}
+    params["bender"]["bend"][-1]["w"] = 0.05 * jax.random.normal(
+        ks[2], (64, 3))
+    params["bender"]["rigidity"][-1]["w"] = 0.3 * jax.random.normal(
+        ks[3], (32, 1))
+    return params
+
+
+def xla_path(params, pts, lat):
+    bent, det = bend_points(params["bender"], pts, lat)
+    raw = nerf_mlp_apply(params["coarse"], CFG, fourier_embed(bent, 10))
+    return raw, det["unmasked_offsets"], det["rigidity_mask"]
+
+
+class TestForward:
+    def test_matches_xla_within_bf16(self):
+        params = make_params()
+        rng = np.random.RandomState(0)
+        n = 700   # non-multiple of block exercises padding
+        pts = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        lat = jnp.asarray(0.1 * rng.randn(n, 32).astype(np.float32))
+        raw_r, off_r, rig_r = xla_path(params, pts, lat)
+        raw_p, off_p, rig_p = fq.fused_point_query(params, pts, lat,
+                                                   block=256)
+        assert raw_p.shape == (n, 4)
+        np.testing.assert_allclose(raw_p, raw_r, atol=3e-2)
+        np.testing.assert_allclose(off_p, off_r, atol=1e-2)
+        np.testing.assert_allclose(rig_p, rig_r, atol=2e-2)
+
+    def test_identity_at_init(self):
+        # zero-init bending output -> offsets 0, rigidity 0.5, raw equals
+        # the plain NeRF of the unbent points
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        params = {"coarse": init_nerf_params(ks[0], CFG),
+                  "bender": init_bending_params(ks[1], CFG)}
+        pts = jnp.asarray(np.random.RandomState(1).randn(256, 3),
+                          dtype=jnp.float32)
+        lat = jnp.ones((256, 32))
+        raw, off, rig = fq.fused_point_query(params, pts, lat, block=256)
+        np.testing.assert_array_equal(np.asarray(off), 0.0)
+        np.testing.assert_allclose(np.asarray(rig), 0.5, atol=1e-6)
+        raw_ref = nerf_mlp_apply(params["coarse"], CFG,
+                                 fourier_embed(pts, 10))
+        np.testing.assert_allclose(raw, raw_ref, atol=3e-2)
+
+    def test_ray_shaped_input(self):
+        params = make_params()
+        pts = jnp.asarray(np.random.RandomState(2).randn(8, 16, 3),
+                          dtype=jnp.float32)
+        lat = jnp.zeros((8, 16, 32))
+        raw, off, rig = fq.fused_point_query(params, pts, lat, block=128)
+        assert raw.shape == (8, 16, 4)
+        assert off.shape == (8, 16, 3)
+        assert rig.shape == (8, 16, 1)
+
+
+class TestBackward:
+    def test_vjp_exact_vs_autodiff_of_same_math(self):
+        """The handwritten backward must equal jax.grad of the kernel's own
+        forward expression bit-for-bit-ish (same bf16 roundings)."""
+        params = make_params()
+        weights = fq.pack_fused_weights(params)
+        rng = np.random.RandomState(3)
+        B = 512
+        pts_pad = jnp.zeros((B, 8)).at[:, :3].set(
+            rng.randn(B, 3).astype(np.float32))
+        lat = jnp.asarray(0.1 * rng.randn(B, 32).astype(np.float32))
+
+        def loss_math(pts_pad, lat, weights):
+            raw, off, rig = fq._forward_math(pts_pad, lat, list(weights))
+            return (jnp.mean(raw ** 2) + 10 * jnp.mean(off ** 2)
+                    + jnp.mean(rig ** 2))
+
+        def loss_pallas(pts_pad, lat, weights):
+            raw, off, rig = fq._fused_core(pts_pad, lat, weights, 256)
+            return (jnp.mean(raw ** 2) + 10 * jnp.mean(off ** 2)
+                    + jnp.mean(rig ** 2))
+
+        gt = jax.grad(loss_math, argnums=(0, 1, 2))(pts_pad, lat, weights)
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(pts_pad, lat, weights)
+
+        np.testing.assert_allclose(gp[0], gt[0], atol=1e-5)   # dpts
+        np.testing.assert_allclose(gp[1], gt[1], atol=1e-5)   # dlat
+        for i, (a, b) in enumerate(zip(gt[2], gp[2])):
+            if i in (16, 17):   # P / phase are constants; kernel returns 0
+                continue
+            # bf16 cotangents round at slightly different points between
+            # the two backward orders; allow bf16-level relative error
+            tol = max(5e-4, 5e-3 * float(jnp.abs(a).max()))
+            np.testing.assert_allclose(b, a, atol=tol,
+                                       err_msg=f"weight grad {i}")
+
+    def test_grads_match_xla_path_roughly(self):
+        params = make_params()
+        rng = np.random.RandomState(4)
+        pts = jnp.asarray(rng.randn(512, 3).astype(np.float32))
+        lat = jnp.asarray(0.1 * rng.randn(512, 32).astype(np.float32))
+
+        def loss_x(p):
+            raw, off, rig = xla_path(p, pts, lat)
+            return jnp.mean(raw ** 2) + jnp.mean(off ** 2) + jnp.mean(rig ** 2)
+
+        def loss_p(p):
+            raw, off, rig = fq.fused_point_query(p, pts, lat, block=256)
+            return jnp.mean(raw ** 2) + jnp.mean(off ** 2) + jnp.mean(rig ** 2)
+
+        gx = jax.grad(loss_x)(params)
+        gp = jax.grad(loss_p)(params)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(gx)[0],
+                jax.tree_util.tree_flatten_with_path(gp)[0]):
+            scale = max(float(jnp.abs(a).max()), 1e-5)
+            rel = float(jnp.abs(a - b).max()) / scale
+            assert rel < 0.06, (jax.tree_util.keystr(path), rel)
+
+
+class TestIntegration:
+    def test_query_points_fused_matches_xla(self):
+        from nonrigid_nerf_tpu.engine.query import query_points
+        import dataclasses
+        params = make_params()
+        pts = jnp.asarray(np.random.RandomState(5).randn(4, 32, 3),
+                          dtype=jnp.float32)
+        lat = jnp.asarray(0.05 * np.random.RandomState(6).randn(4, 32),
+                          dtype=jnp.float32)
+        cfg_on = dataclasses.replace(CFG, fused_kernel="on")
+        cfg_off = dataclasses.replace(CFG, fused_kernel="off")
+        raw_p, det_p = query_points(params, cfg_on, pts, None, lat,
+                                    detailed=True)
+        raw_x, det_x = query_points(params, cfg_off, pts, None, lat,
+                                    detailed=True)
+        np.testing.assert_allclose(raw_p, raw_x, atol=3e-2)
+        np.testing.assert_allclose(det_p["unmasked_offsets"],
+                                   det_x["unmasked_offsets"], atol=5e-3)
+        np.testing.assert_allclose(det_p["rigidity_mask"],
+                                   det_x["rigidity_mask"], atol=1e-2)
+        np.testing.assert_allclose(det_p["masked_offsets"],
+                                   det_x["masked_offsets"], atol=5e-3)
+
+    def test_auto_falls_back_on_cpu_and_edits(self):
+        from nonrigid_nerf_tpu.engine.query import _use_fused_kernel
+        from nonrigid_nerf_tpu.config import EditConfig
+        import dataclasses
+        assert not _use_fused_kernel(CFG, EditConfig())   # cpu backend
+        cfg_on = dataclasses.replace(CFG, fused_kernel="on")
+        assert _use_fused_kernel(cfg_on, EditConfig())
+        with pytest.raises(ValueError):
+            _use_fused_kernel(cfg_on, EditConfig(render_canonical=True))
+        cfg_unsupported = dataclasses.replace(CFG, netwidth=128,
+                                              netdepth=4, skips=(2,),
+                                              fused_kernel="on")
+        with pytest.raises(ValueError):
+            _use_fused_kernel(cfg_unsupported, EditConfig())
