@@ -43,6 +43,9 @@ def reference_helpers():
     outputs."""
     if not reference_available():
         pytest.skip("no reference")
-    sys.path.insert(0, str(REFERENCE_DIR))
+    # append (not insert) so reference modules never shadow same-named repo
+    # modules like preprocess.py / train.py
+    if str(REFERENCE_DIR) not in sys.path:
+        sys.path.append(str(REFERENCE_DIR))
     import run_nerf_helpers  # noqa
     return run_nerf_helpers
