@@ -163,6 +163,22 @@ def free_viewpoint_rendering(fvr_args):
                                     0)[:num_frames]
         path_intrinsics = [intrinsics[extras["imageid_to_viewid"][0]]
                            ] * num_frames
+    elif fvr_args.camera_path == "time_interpolation":
+        # slow-motion between captured time steps: linearly interpolate the
+        # latent codes from a fixed camera (the reference documents this as
+        # a recipe, free_viewpoint_rendering.py:547-562)
+        num_frames = fvr_args.num_target_frames
+        t = np.linspace(0.0, len(sub_latents) - 1, num_frames)
+        lo = np.floor(t).astype(int)
+        hi = np.ceil(t).astype(int)
+        frac = (t - lo)[:, None]
+        sub_latents = (sub_latents[hi] * frac
+                       + sub_latents[lo] * (1.0 - frac)).astype(np.float32)
+        sub_images = None   # no ground truth for interpolated frames
+        fixed = fvr_args.fixed_view
+        path_poses = np.tile(poses[fixed][None], (num_frames, 1, 1))
+        path_intrinsics = [intrinsics[extras["imageid_to_viewid"][fixed]]
+                           ] * num_frames
     else:
         raise ValueError("invalid --camera_path argument")
 
@@ -268,6 +284,9 @@ def free_viewpoint_rendering(fvr_args):
 
         # undistortion can leave masked-out black pixels in groundtruth
         mask = np.sum(sub_images[0], axis=-1) == 0.0
+        if mask.all():
+            # degenerate (fully black first frame) — don't mask anything
+            mask = np.zeros_like(mask)
         scores = {}
         lpips_missing = False
         for i in range(num_frames):
@@ -319,7 +338,8 @@ def build_parser():
     parser.add_argument("--deformations", type=str, required=True,
                         choices=["train", "test", "all"])
     parser.add_argument("--camera_path", type=str, required=True,
-                        choices=["input_reconstruction", "fixed", "spiral"])
+                        choices=["input_reconstruction", "fixed", "spiral",
+                                 "time_interpolation"])
     parser.add_argument("--fixed_view", type=int, default=0)
     parser.add_argument("--forced_background_stabilization", type=float,
                         default=None)
@@ -327,6 +347,8 @@ def build_parser():
     parser.add_argument("--foreground_removal", type=float, default=None)
     parser.add_argument("--render_canonical", action="store_true")
     parser.add_argument("--output_video_fps", type=int, default=5)
+    parser.add_argument("--num_target_frames", type=int, default=120,
+                        help="frame count for time_interpolation paths")
     return parser
 
 

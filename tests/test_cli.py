@@ -1,0 +1,162 @@
+"""End-to-end CLI tests on a tiny synthetic scene (CPU).
+
+Covers the orchestration layers: config parsing, experiment folder layout
+(args.txt/config.txt/backup/cameras.obj), training with periodic
+checkpoints, auto-resume, and the free-viewpoint rendering app with its
+camera paths and evaluation outputs.
+"""
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+import train as train_cli
+from tests.test_data import write_synthetic_sequence
+
+FVR_AVAILABLE = True
+import free_viewpoint_rendering as fvr_cli
+
+
+TINY_CONFIG = """
+dataset_type = llff
+datadir = {datadir}
+rootdir = {rootdir}
+expname = tiny_exp
+ray_bending = simple_neural
+ray_bending_latent_size = 32
+factor = 1
+netdepth = 2
+netwidth = 32
+netdepth_fine = 2
+netwidth_fine = 32
+multires = 4
+multires_views = 2
+offsets_loss_weight = 60.
+divergence_loss_weight = 3.
+rigidity_loss_weight = 0.0005
+lrate_decay = 250000
+N_iters = 8
+i_print = 4
+i_weights = 8
+i_video = 1000
+i_testset = 1000
+N_samples = 4
+N_importance = 4
+N_rand = 16
+chunk = 64
+raw_noise_std = 1e0
+"""
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    datadir = root / "data"
+    datadir.mkdir()
+    write_synthetic_sequence(str(datadir), n=4, H=10, W=12)
+    cfg_path = root / "tiny.txt"
+    cfg_path.write_text(TINY_CONFIG.format(datadir=datadir,
+                                           rootdir=root / "experiments"))
+    args = train_cli.parse_args(["--config", str(cfg_path)])
+    results_folder = os.path.join(args.rootdir, args.expname)
+    train_cli.create_folder(results_folder)
+    train_cli.backup(results_folder)
+    train_cli.main_function(args)
+    return root, args, results_folder
+
+
+class TestTrainCLI:
+    def test_experiment_layout(self, experiment):
+        _, args, folder = experiment
+        logdir = os.path.join(folder, "logs")
+        assert os.path.exists(os.path.join(logdir, "args.txt"))
+        assert os.path.exists(os.path.join(logdir, "config.txt"))
+        assert os.path.exists(os.path.join(logdir, "latest.npz"))
+        assert os.path.exists(os.path.join(logdir, "cameras.obj"))
+        assert os.path.exists(os.path.join(folder, "backup", "train.py"))
+        assert os.path.exists(os.path.join(
+            folder, "backup", "nonrigid_nerf_tpu", "engine", "render.py"))
+
+    def test_args_txt_roundtrip(self, experiment):
+        from nonrigid_nerf_tpu.config import Args, parse_config_file
+        _, args, folder = experiment
+        loaded = Args(**parse_config_file(
+            os.path.join(folder, "logs", "args.txt")))
+        assert loaded.netdepth == 2
+        assert loaded.N_iters == 8
+        assert loaded.ray_bending == "simple_neural"
+        assert loaded.offsets_loss_weight == 60.0
+
+    def test_checkpoint_contents(self, experiment):
+        from nonrigid_nerf_tpu.checkpoints import load_checkpoint
+        _, args, folder = experiment
+        step, params, opt_state, extras = load_checkpoint(
+            os.path.join(folder, "logs", "latest.npz"))
+        assert step == 8
+        assert params["latents"].shape == (4, 32)
+        assert "intrinsics" in extras
+        assert "scripts_dict" in extras
+        assert extras["scripts_dict"]["near"] > 0
+
+    def test_auto_resume_is_noop_at_end(self, experiment, capsys):
+        _, args, folder = experiment
+        train_cli.main_function(args)
+        out = capsys.readouterr().out
+        assert "Reloading from" in out
+
+
+class TestFVRCLI:
+    def _run(self, experiment, extra):
+        _, args, folder = experiment
+        fvr_args = fvr_cli.build_parser().parse_args(
+            ["--input", folder] + extra)
+        return fvr_cli.free_viewpoint_rendering(fvr_args)
+
+    def test_fixed_path_with_outputs(self, experiment):
+        out = self._run(experiment,
+                        ["--deformations", "all", "--camera_path", "fixed",
+                         "--fixed_view", "1"])
+        files = os.listdir(out)
+        assert "rgb_000000.png" in files
+        assert "correspondences_000000.png" in files
+        assert "rigidity_000000.png" in files
+        assert "disp_phong_000003.png" in files
+        assert "standard_deviations.png" in files
+
+    def test_input_reconstruction_scores(self, experiment):
+        out = self._run(experiment,
+                        ["--deformations", "all",
+                         "--camera_path", "input_reconstruction"])
+        with open(os.path.join(out, "scores.json")) as f:
+            scores = json.load(f)
+        assert "average_psnr" in scores
+        assert "average_ssim" in scores
+        assert np.isfinite(scores["average_psnr"])
+        assert os.path.isdir(os.path.join(out, "naive_errors"))
+        assert os.path.isdir(os.path.join(out, "ssim_errors"))
+
+    def test_scene_edits_in_output_name(self, experiment):
+        out = self._run(experiment,
+                        ["--deformations", "all", "--camera_path", "fixed",
+                         "--forced_background_stabilization", "0.3",
+                         "--motion_factor", "2.0"])
+        assert "fbs_0.3" in out and "exaggeration_2.0" in out
+
+    def test_render_canonical(self, experiment):
+        out = self._run(experiment,
+                        ["--deformations", "all", "--camera_path", "spiral",
+                         "--render_canonical"])
+        assert out.endswith("_canonical")
+        assert os.path.exists(os.path.join(out, "rgb_000000.png"))
+
+    def test_time_interpolation(self, experiment):
+        out = self._run(experiment,
+                        ["--deformations", "all",
+                         "--camera_path", "time_interpolation",
+                         "--num_target_frames", "7", "--fixed_view", "0"])
+        files = [f for f in os.listdir(out) if f.startswith("rgb_")]
+        assert len(files) == 7
