@@ -47,6 +47,9 @@ class ModelConfig:
     ray_bending_latent_size: int = 32
     bending_depth: int = 5
     bending_width: int = 64
+    # "relu" (reference default) or "sin" (the reference's dormant SIREN
+    # branch, run_nerf_helpers.py:434-449)
+    bending_activation: str = "relu"
     use_rigidity_network: bool = True
     rigidity_depth: int = 3
     rigidity_width: int = 32

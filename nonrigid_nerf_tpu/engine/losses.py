@@ -69,7 +69,8 @@ def divergence_loss(key, params, cfg: ModelConfig, render_out, latents,
 
     def offsets_at(p):
         _, details = bend_points(bender, p, latents_per_pt,
-                                 compute_dtype=jnp.dtype(cfg.compute_dtype))
+                                 compute_dtype=jnp.dtype(cfg.compute_dtype),
+                                 activation=cfg.bending_activation)
         return details.get("masked_offsets", details["unmasked_offsets"])
 
     if exact:

@@ -130,7 +130,8 @@ def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
             bender, pts, latents_per_pt,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
-            test_time_scaling=edit.test_time_scaling)
+            test_time_scaling=edit.test_time_scaling,
+            activation=cfg.bending_activation)
         if detailed:
             details.update(
                 {k: v for k, v in bend_details.items()})
@@ -161,7 +162,8 @@ def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
                         bender, p, latents_per_pt,
                         compute_dtype=jnp.dtype(cfg.compute_dtype),
                         rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
-                        test_time_scaling=edit.test_time_scaling)[0]
+                        test_time_scaling=edit.test_time_scaling,
+                        activation=cfg.bending_activation)[0]
 
                 _, dd = jax.jvp(_bend, (pts,), (d,))
                 dirs = dd / (jnp.linalg.norm(dd, axis=-1, keepdims=True) + 1e-6)

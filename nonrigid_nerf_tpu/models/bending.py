@@ -35,11 +35,16 @@ def init_bending_params(key, cfg):
     keys = jax.random.split(key, cfg.bending_depth + cfg.rigidity_depth)
     k = iter(keys)
 
+    siren = getattr(cfg, "bending_activation", "relu") == "sin"
     layers = []
     in_dim = 3 + cfg.ray_bending_latent_size
-    for _ in range(cfg.bending_depth - 1):
+    for i in range(cfg.bending_depth - 1):
+        if siren:
+            hidden_init = "siren_first" if i == 0 else "siren"
+        else:
+            hidden_init = "kaiming_relu"
         layers.append(dense_init(next(k), in_dim, cfg.bending_width,
-                                 init="kaiming_relu"))
+                                 init=hidden_init))
         in_dim = cfg.bending_width
     layers.append(dense_init(next(k), in_dim, 3, init="zeros", use_bias=False))
 
@@ -58,17 +63,27 @@ def init_bending_params(key, cfg):
     return params
 
 
-def _mlp_chain(layers, x, compute_dtype=None):
+def _mlp_chain(layers, x, compute_dtype=None, activation="relu"):
     h = x
-    for layer in layers[:-1]:
-        h = jax.nn.relu(dense_apply(layer, h, compute_dtype))
+    for i, layer in enumerate(layers[:-1]):
+        h = dense_apply(layer, h, compute_dtype)
+        if activation == "sin":
+            # SIREN: scale the first layer's pre-activation by 30
+            # (reference: run_nerf_helpers.py:528-530)
+            if i == 0:
+                h = h * 30.0
+            h = jnp.sin(h)
+        else:
+            h = jax.nn.relu(h)
     return dense_apply(layers[-1], h, compute_dtype)
 
 
-def unmasked_offsets_fn(params, pts, latents, compute_dtype=None):
+def unmasked_offsets_fn(params, pts, latents, compute_dtype=None,
+                        activation="relu"):
     """Raw (pre-rigidity) offsets for points (..., 3) with latents (..., L)."""
     h = jnp.concatenate([pts, latents], axis=-1)
-    return _mlp_chain(params["bend"], h, compute_dtype).astype(pts.dtype)
+    return _mlp_chain(params["bend"], h, compute_dtype,
+                      activation).astype(pts.dtype)
 
 
 def rigidity_mask_fn(params, pts, compute_dtype=None):
@@ -79,7 +94,8 @@ def rigidity_mask_fn(params, pts, compute_dtype=None):
 
 def bend_points(params, pts, latents, compute_dtype=None,
                 rigidity_test_time_cutoff: Optional[float] = None,
-                test_time_scaling: Optional[float] = None):
+                test_time_scaling: Optional[float] = None,
+                activation: str = "relu"):
     """Apply the deformation field: returns (bent_pts, details dict).
 
     details carries the per-point internals the losses need
@@ -87,7 +103,8 @@ def bend_points(params, pts, latents, compute_dtype=None,
     unmasked_offsets, rigidity_mask, masked_offsets.
     """
     details = {}
-    unmasked = unmasked_offsets_fn(params, pts, latents, compute_dtype)
+    unmasked = unmasked_offsets_fn(params, pts, latents, compute_dtype,
+                                   activation)
     details["unmasked_offsets"] = unmasked
 
     if "rigidity" in params:

@@ -26,6 +26,10 @@ def dense_init(key, fan_in: int, fan_out: int, init: str = "torch_default",
           used by the bending/rigidity hidden layers
           (reference: run_nerf_helpers.py:444-449).
       "zeros": zero weight (and bias) — the bending/rigidity output layers.
+      "siren_first"/"siren": SIREN uniform ranges U(-1/fan_in, 1/fan_in) for
+          the first layer and U(-sqrt(6/fan_in), sqrt(6/fan_in)) after,
+          matching the reference's dormant sin branch
+          (reference: run_nerf_helpers.py:434-443).
     """
     wkey, bkey = jax.random.split(key)
     if init == "torch_default":
@@ -34,6 +38,14 @@ def dense_init(key, fan_in: int, fan_out: int, init: str = "torch_default",
         b = jax.random.uniform(bkey, (fan_out,), dtype, -bound, bound) \
             if use_bias else None
     elif init == "kaiming_relu":
+        bound = math.sqrt(6.0 / fan_in)
+        w = jax.random.uniform(wkey, (fan_in, fan_out), dtype, -bound, bound)
+        b = jnp.zeros((fan_out,), dtype) if use_bias else None
+    elif init == "siren_first":
+        bound = 1.0 / fan_in
+        w = jax.random.uniform(wkey, (fan_in, fan_out), dtype, -bound, bound)
+        b = jnp.zeros((fan_out,), dtype) if use_bias else None
+    elif init == "siren":
         bound = math.sqrt(6.0 / fan_in)
         w = jax.random.uniform(wkey, (fan_in, fan_out), dtype, -bound, bound)
         b = jnp.zeros((fan_out,), dtype) if use_bias else None

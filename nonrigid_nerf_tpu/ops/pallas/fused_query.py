@@ -57,6 +57,7 @@ def supports_fused_query(cfg) -> bool:
     no view directions, default widths/depths, fourier encoding."""
     return (cfg.use_ray_bending
             and cfg.use_rigidity_network
+            and getattr(cfg, "bending_activation", "relu") == "relu"
             and not cfg.use_viewdirs
             and not cfg.time_conditioned_baseline
             and cfg.i_embed == 0

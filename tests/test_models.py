@@ -170,3 +170,47 @@ class TestReferenceParity:
                               rigidity_test_time_cutoff=0.5,
                               test_time_scaling=2.0)
         np.testing.assert_allclose(np.asarray(bent), ref_bent, atol=1e-5)
+
+
+class TestSirenBending:
+    def test_siren_forward_runs_and_differs(self):
+        import dataclasses
+        cfg = dataclasses.replace(CFG, bending_activation="sin")
+        params = init_bending_params(jax.random.PRNGKey(0), cfg)
+        # un-zero output layer so the activation choice matters
+        params["bend"][-1]["w"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(1), params["bend"][-1]["w"].shape)
+        pts = jnp.asarray(np.random.RandomState(0).randn(32, 3),
+                          dtype=jnp.float32)
+        lat = jnp.asarray(np.random.RandomState(1).randn(32, 32),
+                          dtype=jnp.float32)
+        bent_sin, _ = bend_points(params, pts, lat, activation="sin")
+        bent_relu, _ = bend_points(params, pts, lat, activation="relu")
+        assert np.isfinite(np.asarray(bent_sin)).all()
+        assert not np.allclose(np.asarray(bent_sin), np.asarray(bent_relu))
+
+    @requires_reference
+    def test_siren_parity_with_reference(self, reference_helpers):
+        import torch
+        torch.manual_seed(5)
+        ref = reference_helpers.ray_bending(
+            63, 32, "simple_neural", embed_fn=lambda x: x)
+        # switch the reference's dormant sin branch on for the forward pass
+        ref.activation_function = torch.sin
+        with torch.no_grad():
+            ref.network[-1].weight.normal_(0, 0.1)
+        from tests.test_models import _torch_linear_to_pytree
+        params = {
+            "bend": [_torch_linear_to_pytree(l) for l in ref.network],
+            "rigidity": [_torch_linear_to_pytree(l)
+                         for l in ref.rigidity_network],
+        }
+        rng = np.random.RandomState(6)
+        pts = rng.randn(64, 3).astype(np.float32)
+        lat = rng.randn(64, 32).astype(np.float32)
+        with torch.no_grad():
+            ref_bent = ref(torch.from_numpy(pts),
+                           torch.from_numpy(lat)).numpy()
+        bent, _ = bend_points(params, jnp.asarray(pts), jnp.asarray(lat),
+                              activation="sin")
+        np.testing.assert_allclose(np.asarray(bent), ref_bent, atol=1e-5)
