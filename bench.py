@@ -80,6 +80,31 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = tc.N_rand * n_steps / dt
+
+    # secondary metric: inference throughput (full-image rendering path)
+    from nonrigid_nerf_tpu.engine.render import make_ray_renderer
+    from nonrigid_nerf_tpu.ops.rays import get_rays
+    import jax.numpy as jnp
+    intrin0 = {"height": ds.height, "width": ds.width,
+               "focal_x": float(ds.view_intrinsics[0, 0]),
+               "focal_y": float(ds.view_intrinsics[0, 1]),
+               "center_x": float(ds.view_intrinsics[0, 2]),
+               "center_y": float(ds.view_intrinsics[0, 3])}
+    rays_o, rays_d = get_rays(ds.poses[0], intrin0)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    latents = jnp.zeros((rays_o.shape[0], cfg.ray_bending_latent_size))
+    renderer = make_ray_renderer(cfg, rs.test_mode(), chunk=32768)
+    out = renderer(state.params, rays_o, rays_d, latents, None)
+    float(out["rgb_map"][0, 0])
+    n_frames = 5
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        out = renderer(state.params, rays_o, rays_d, latents, None)
+    float(out["rgb_map"][0, 0])
+    render_rays_per_sec = n_frames * rays_o.shape[0] / (
+        time.perf_counter() - t0)
+
     result = {
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -90,6 +115,7 @@ def main():
                   "full NR-NeRF losses)",
         "device": str(jax.devices()[0]),
         "final_psnr_sample": round(float(metrics["psnr"]), 2),
+        "render_rays_per_sec": round(render_rays_per_sec, 1),
     }
     print(json.dumps(result))
 
