@@ -38,9 +38,14 @@ def _embed_views(cfg: ModelConfig, dirs):
 def _finite_difference_viewdirs(bent_pts, eps: float = 1e-6):
     """Per-sample view directions of the *bent* ray: normalized backward
     differences between consecutive bent samples, first sample duplicated
-    (reference: run_nerf_helpers.py:316-369, "backward" branch)."""
+    (reference: run_nerf_helpers.py:316-369, "backward" branch).
+
+    Uses safe_norm: the fine pass sorts the union of coarse and importance
+    depths, which can contain (near-)duplicates -> zero-length differences,
+    where jnp.linalg.norm has a NaN gradient (PyTorch special-cases this)."""
+    from nonrigid_nerf_tpu.ops.math import safe_norm
     diffs = bent_pts[..., 1:, :] - bent_pts[..., :-1, :]     # (R, S-1, 3)
-    norm = jnp.linalg.norm(diffs, axis=-1, keepdims=True)
+    norm = safe_norm(diffs, axis=-1, keepdims=True)
     diffs = diffs / (norm + eps)
     return jnp.concatenate([diffs[..., :1, :], diffs], axis=-2)  # (R, S, 3)
 
@@ -165,8 +170,9 @@ def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
                         test_time_scaling=edit.test_time_scaling,
                         activation=cfg.bending_activation)[0]
 
+                from nonrigid_nerf_tpu.ops.math import safe_norm
                 _, dd = jax.jvp(_bend, (pts,), (d,))
-                dirs = dd / (jnp.linalg.norm(dd, axis=-1, keepdims=True) + 1e-6)
+                dirs = dd / (safe_norm(dd, axis=-1, keepdims=True) + 1e-6)
         else:
             dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
         embedded_views = _embed_views(cfg, dirs)

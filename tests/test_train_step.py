@@ -188,3 +188,33 @@ class TestCheckpoints:
         save_checkpoint(os.path.join(logdir, "latest.npz"), 51000,
                         state.params)
         assert latest_checkpoint(logdir).endswith("latest.npz")
+
+
+class TestViewdirsTraining:
+    @pytest.mark.parametrize("approx", [True, False])
+    def test_viewdirs_training_stays_finite(self, tmp_path, approx):
+        """Regression: the fine pass sorts coarse+importance depths, which
+        produces near-duplicate samples; the finite-difference viewdirs must
+        not emit NaN gradients through zero-length differences."""
+        import dataclasses
+        cfg = dataclasses.replace(TINY, use_viewdirs=True,
+                                  approx_nonrigid_viewdirs=approx,
+                                  multires_views=2)
+        ds = build_tiny_dataset(tmp_path)
+        tc = TrainConfig(N_rand=64, offsets_loss_weight=60.0,
+                         divergence_loss_weight=3.0,
+                         rigidity_loss_weight=5e-4, N_iters=100)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                            raw_noise_std=1.0)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, tc,
+                                   ds.num_timesteps)
+        # nonzero bending so the viewdirs actually depend on the bender
+        state.params["bender"]["bend"][-1]["w"] = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(7), state.params["bender"]["bend"][-1]["w"].shape)
+        step_fn = make_train_step(cfg, tc, rs, has_test_split=False,
+                                  donate=False)
+        for i in range(5):
+            state, metrics = step_fn(state, ds, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert np.isfinite(np.asarray(leaf)).all()
