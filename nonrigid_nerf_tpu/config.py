@@ -164,13 +164,14 @@ _BOOL_KEYS = {
     "no_reload", "render_test", "spherify", "debug", "use_viewdirs",
     "approx_nonrigid_viewdirs", "time_conditioned_baseline",
 }
+_BOOL_KEYS.add("metrics_file")
 _INT_KEYS = {
     "netdepth", "netwidth", "netdepth_fine", "netwidth_fine", "N_iters",
     "N_rand", "chunk", "netchunk", "seed", "ray_bending_latent_size",
     "train_block_size", "test_block_size", "N_samples", "N_importance",
     "i_embed", "multires", "multires_views", "render_factor",
     "precrop_iters", "factor", "i_print", "i_img", "i_weights", "i_testset",
-    "i_video", "lrate_decay",
+    "i_video", "lrate_decay", "profile_steps",
 }
 _FLOAT_KEYS = {
     "lrate", "perturb", "offsets_loss_weight", "divergence_loss_weight",
@@ -200,6 +201,11 @@ DEFAULTS = {
     "bd_factor": "0.75",
     "i_print": 100, "i_img": 500, "i_weights": 1000, "i_testset": 50000,
     "i_video": 50000,
+    # observability (TPU equivalents of the reference's wall-clock prints,
+    # SURVEY.md §5): XLA profiler trace of a training-step window, and a
+    # machine-readable metrics stream next to the console log
+    "profile_steps": 0,
+    "metrics_file": True,
 }
 
 

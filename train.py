@@ -223,10 +223,25 @@ def main_function(args: Args) -> None:
 
     key = jax.random.PRNGKey(tc.seed + 1)
     print(f"Begin training at step {start} -> {args.N_iters}", flush=True)
+
+    metrics_path = os.path.join(logdir, "metrics.jsonl") \
+        if getattr(args, "metrics_file", True) else None
+    profile_steps = int(getattr(args, "profile_steps", 0) or 0)
+    profile_dir = os.path.join(logdir, "profile")
+
     t0 = time.time()
     metrics = None
     for i in range(start + 1, args.N_iters + 1):
+        if profile_steps and i == start + 50:
+            # skip the compile/warmup steps, then trace a window
+            jax.profiler.start_trace(profile_dir)
         state, metrics = step_fn(state, ds, key)
+        if profile_steps and i == start + 50 + profile_steps:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+            print("wrote XLA trace to", profile_dir, flush=True)
+            profile_steps = 0
 
         if i % args.i_print == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -242,6 +257,12 @@ def main_function(args: Args) -> None:
                 parts.append(f"div: {m['divergence_loss']:.6f}")
             parts.append(f"({args.i_print / dt:.1f} it/s)")
             print(" ".join(parts), flush=True)
+            if metrics_path:
+                import json as _json
+                with open(metrics_path, "a") as mf:
+                    mf.write(_json.dumps(
+                        {"step": i, "it_per_sec": args.i_print / dt,
+                         **{k: round(v, 8) for k, v in m.items()}}) + "\n")
 
         if i % args.i_weights == 0:
             if i % 50000 == 0:
