@@ -423,6 +423,10 @@ def _fused_core_bwd(block, residuals, cotangents):
         out_shape=([jax.ShapeDtypeStruct((n, PTS_PAD), jnp.float32),
                     jax.ShapeDtypeStruct((n, LAT), jnp.float32)]
                    + dw_shapes),
+        # 512-pt blocks sit right at the default 16 MB scoped-VMEM budget
+        # (surrounding fusions can push it ~50 KB over); give headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
     )(pts_pad, lat, *weights, draw, doff, drig)
 
     return out[0], out[1], tuple(out[2:])
