@@ -1,0 +1,82 @@
+"""Visualization + metrics utility tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nonrigid_nerf_tpu.utils.metrics import psnr, ssim
+from nonrigid_nerf_tpu.utils.viz import (disparity_to_blinn_phong,
+                                         disparity_to_jet,
+                                         export_ray_bending_objs)
+
+
+class TestMetrics:
+    def test_psnr_known_value(self):
+        gt = np.zeros((8, 8, 3))
+        gen = np.full((8, 8, 3), 0.1)
+        np.testing.assert_allclose(psnr(gt, gen), 20.0, atol=1e-6)
+
+    def test_ssim_identity(self):
+        rng = np.random.RandomState(0)
+        img = rng.rand(32, 40, 3)
+        assert ssim(img, img) == pytest.approx(1.0, abs=1e-7)
+
+    def test_ssim_orders_degradations(self):
+        rng = np.random.RandomState(1)
+        img = rng.rand(48, 48, 3)
+        slightly = np.clip(img + 0.05 * rng.randn(*img.shape), 0, 1)
+        heavily = np.clip(img + 0.4 * rng.randn(*img.shape), 0, 1)
+        s1 = ssim(img, slightly)
+        s2 = ssim(img, heavily)
+        assert 1.0 > s1 > s2 > 0.0
+
+    def test_ssim_full_map_shape(self):
+        rng = np.random.RandomState(2)
+        a, b = rng.rand(24, 30, 3), rng.rand(24, 30, 3)
+        val, smap = ssim(a, b, full=True)
+        assert smap.shape == (24, 30, 3)
+        assert np.isfinite(val)
+
+    @pytest.mark.skipif(
+        not pytest.importorskip("importlib.util").find_spec("skimage"),
+        reason="skimage not installed")
+    def test_ssim_matches_skimage(self):
+        from skimage.metrics import structural_similarity
+        rng = np.random.RandomState(3)
+        a, b = rng.rand(32, 32, 3), rng.rand(32, 32, 3)
+        ref = structural_similarity(a, b, data_range=1.0, channel_axis=-1,
+                                    gaussian_weights=True, sigma=1.5,
+                                    use_sample_covariance=False)
+        np.testing.assert_allclose(ssim(a, b), ref, atol=1e-3)
+
+
+class TestViz:
+    def test_jet_range_and_shape(self):
+        v = np.linspace(0, 1, 256).reshape(16, 16)
+        rgb = disparity_to_jet(v)
+        assert rgb.shape == (16, 16, 3)
+        assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+        # blue at 0, red at 1 for jet
+        assert rgb[0, 0, 2] > rgb[0, 0, 0]
+        assert rgb[15, 15, 0] > rgb[15, 15, 2]
+
+    def test_blinn_phong_shape_finite(self):
+        rng = np.random.RandomState(0)
+        depth = rng.rand(20, 24)
+        out = disparity_to_blinn_phong(depth)
+        assert out.shape == (20, 24, 3)
+        assert np.isfinite(out).all()
+
+    def test_obj_export(self, tmp_path):
+        rng = np.random.RandomState(0)
+        initial = rng.randn(5, 4, 3)
+        bent = initial + 0.1
+        prefix = os.path.join(tmp_path, "rays")
+        export_ray_bending_objs(initial, bent, prefix, subsample=3)
+        for suffix in ("_bent.obj", "_not_bent.obj", "_deltas.obj"):
+            path = prefix + suffix
+            assert os.path.exists(path)
+            content = open(path).read()
+            assert content.startswith("v ")
+            assert "\nf " in content
