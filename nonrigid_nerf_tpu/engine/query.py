@@ -76,13 +76,13 @@ def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
 def _fused_query_points(params, cfg: ModelConfig, pts, latents,
                         network: str, detailed: bool):
     """query_points via the fused Pallas kernel (ops/pallas/fused_query)."""
-    from nonrigid_nerf_tpu.ops.pallas.fused_query import fused_point_query
+    from nonrigid_nerf_tpu.ops.pallas.fused_query import (
+        fused_point_query_split)
     R, S = pts.shape[:-1]
     latents_per_pt = jnp.broadcast_to(latents[..., None, :],
                                       (R, S, latents.shape[-1]))
-    raw, offsets, rigidity = fused_point_query(params, pts, latents_per_pt,
-                                               multires=cfg.multires,
-                                               network=network)
+    raw, offsets, rigidity = fused_point_query_split(
+        params, pts, latents_per_pt, multires=cfg.multires, network=network)
     if not detailed:
         return raw
     masked = rigidity * offsets

@@ -435,6 +435,349 @@ def _fused_core_bwd(block, residuals, cotangents):
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Two-kernel variant: a small bend+rigidity+encoding kernel feeding an
+# MLP-only kernel. The split lets the MLP backward (the FLOP bulk) run with
+# 1024-pt blocks — it no longer shares VMEM with the bender weights/grads —
+# and costs only one (n, EMB) f32 HBM hop between the kernels.
+# ---------------------------------------------------------------------------
+
+N_BEND_W = 18   # weights[:18]  = bend + rigidity + P/phase
+N_MLP_W = 19    # weights[18:]  = canonical MLP + output head
+
+
+def _bend_fwd_math(pts, lat, w):
+    (b0p, b0l, b0b, b1w, b1b, b2w, b2b, b3w, b3b, bow,
+     r0w, r0b, r1w, r1b, row, rob, P, phase) = w
+    bf16 = jnp.bfloat16
+    bh0 = jax.nn.relu(_mm(pts, b0p) + _mm(lat, b0l) + b0b).astype(bf16)
+    bh1 = jax.nn.relu(_mm(bh0, b1w) + b1b).astype(bf16)
+    bh2 = jax.nn.relu(_mm(bh1, b2w) + b2b).astype(bf16)
+    bh3 = jax.nn.relu(_mm(bh2, b3w) + b3b).astype(bf16)
+    offsets = _mm(bh3, bow)
+    rh0 = jax.nn.relu(_mm(pts, r0w) + r0b).astype(bf16)
+    rh1 = jax.nn.relu(_mm(rh0, r1w) + r1b).astype(bf16)
+    rig_raw = _mm(rh1, row) + rob
+    tanh_rr = jnp.tanh(rig_raw)
+    rigidity = (tanh_rr + 1.0) * 0.5
+    rig0 = rigidity[:, 0:1]
+    bent = pts + rig0 * offsets
+    pre, lane, emb = _embed(bent, P, phase)
+    acts = dict(bh0=bh0, bh1=bh1, bh2=bh2, bh3=bh3, rh0=rh0, rh1=rh1,
+                tanh_rr=tanh_rr, rig0=rig0, pre=pre, lane=lane)
+    return emb, offsets, rigidity, acts
+
+
+def _bend_fwd_kernel(pts_ref, lat_ref, *rest):
+    w = [r[:] for r in rest[:N_BEND_W]]
+    emb_ref, off_ref, rig_ref = rest[N_BEND_W:]
+    emb, off, rig, _ = _bend_fwd_math(pts_ref[:], lat_ref[:], w)
+    emb_ref[:] = emb
+    off_ref[:] = off
+    rig_ref[:] = rig
+
+
+def _bend_bwd_kernel(pts_ref, lat_ref, *rest):
+    w = [r[:] for r in rest[:N_BEND_W]]
+    demb_ref, doff_ref, drig_ref = rest[N_BEND_W:N_BEND_W + 3]
+    dpts_ref, dlat_ref = rest[N_BEND_W + 3:N_BEND_W + 5]
+    dw_refs = rest[N_BEND_W + 5:]
+    (b0p, b0l, b0b, b1w, b1b, b2w, b2b, b3w, b3b, bow,
+     r0w, r0b, r1w, r1b, row, rob, P, phase) = w
+    bf16 = jnp.bfloat16
+    pts, lat = pts_ref[:], lat_ref[:]
+    _, offsets, _, a = _bend_fwd_math(pts, lat, w)
+
+    def mmT_nt(x, wt):
+        return jax.lax.dot_general(
+            x.astype(bf16), wt.astype(bf16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mmT_tn(act, g):
+        return jax.lax.dot_general(
+            act.astype(bf16), g.astype(bf16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def bsum(g):
+        return jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    demb = demb_ref[:]
+    dpre = jnp.where(a["lane"] < 3, demb,
+                     demb * jnp.cos(a["pre"] + phase))
+    dbent = jnp.dot(dpre, P.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+    doff_total = dbent * a["rig0"] + doff_ref[:]
+    drig0 = jnp.sum(dbent * offsets, axis=1, keepdims=True)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, drig_ref.shape, 1)
+    drig = drig_ref[:] + jnp.where(lane8 == 0, drig0, 0.0)
+    drig_raw = drig * 0.5 * (1.0 - a["tanh_rr"] * a["tanh_rr"])
+
+    g_row = mmT_tn(a["rh1"], drig_raw)
+    g_rob = bsum(drig_raw)
+    drh1 = (mmT_nt(drig_raw, row)
+            * (a["rh1"].astype(jnp.float32) > 0)).astype(bf16)
+    g_r1w = mmT_tn(a["rh0"], drh1)
+    g_r1b = bsum(drh1)
+    drh0 = (mmT_nt(drh1, r1w)
+            * (a["rh0"].astype(jnp.float32) > 0)).astype(bf16)
+    g_r0w = mmT_tn(pts, drh0)
+    g_r0b = bsum(drh0)
+    dpts_rig = mmT_nt(drh0, r0w)
+
+    g_bow = mmT_tn(a["bh3"], doff_total)
+    dbh3 = (mmT_nt(doff_total, bow)
+            * (a["bh3"].astype(jnp.float32) > 0)).astype(bf16)
+    g_b3w = mmT_tn(a["bh2"], dbh3)
+    g_b3b = bsum(dbh3)
+    dbh2 = (mmT_nt(dbh3, b3w)
+            * (a["bh2"].astype(jnp.float32) > 0)).astype(bf16)
+    g_b2w = mmT_tn(a["bh1"], dbh2)
+    g_b2b = bsum(dbh2)
+    dbh1 = (mmT_nt(dbh2, b2w)
+            * (a["bh1"].astype(jnp.float32) > 0)).astype(bf16)
+    g_b1w = mmT_tn(a["bh0"], dbh1)
+    g_b1b = bsum(dbh1)
+    dbh0 = (mmT_nt(dbh1, b1w)
+            * (a["bh0"].astype(jnp.float32) > 0)).astype(bf16)
+    g_b0p = mmT_tn(pts, dbh0)
+    g_b0l = mmT_tn(lat, dbh0)
+    g_b0b = bsum(dbh0)
+
+    dpts_ref[:] = dbent + dpts_rig + mmT_nt(dbh0, b0p)
+    dlat_ref[:] = mmT_nt(dbh0, b0l)
+
+    grads = [g_b0p, g_b0l, g_b0b, g_b1w, g_b1b, g_b2w, g_b2b, g_b3w, g_b3b,
+             g_bow, g_r0w, g_r0b, g_r1w, g_r1b, g_row, g_rob,
+             jnp.zeros_like(P), jnp.zeros_like(phase)]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for dw, g in zip(dw_refs, grads):
+            dw[:] = g
+
+    @pl.when(i > 0)
+    def _accum():
+        for dw, g in zip(dw_refs, grads):
+            dw[:] = dw[:] + g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bend_core(pts_pad, lat, bw, block):
+    n = pts_pad.shape[0]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in bw]
+    return pl.pallas_call(
+        _bend_fwd_kernel,
+        grid=(n // block,),
+        in_specs=[_io_spec(block, PTS_PAD), _io_spec(block, LAT)] + w_specs,
+        out_specs=[_io_spec(block, EMB), _io_spec(block, PTS_PAD),
+                   _io_spec(block, PTS_PAD)],
+        out_shape=[jax.ShapeDtypeStruct((n, EMB), jnp.float32),
+                   jax.ShapeDtypeStruct((n, PTS_PAD), jnp.float32),
+                   jax.ShapeDtypeStruct((n, PTS_PAD), jnp.float32)],
+    )(pts_pad, lat, *bw)
+
+
+def _bend_core_fwd(pts_pad, lat, bw, block):
+    return _bend_core(pts_pad, lat, bw, block), (pts_pad, lat, bw)
+
+
+def _bend_core_bwd(block, residuals, cots):
+    pts_pad, lat, bw = residuals
+    demb, doff, drig = cots
+    n = pts_pad.shape[0]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in bw]
+    dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for w in bw]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in bw]
+    out = pl.pallas_call(
+        _bend_bwd_kernel,
+        grid=(n // block,),
+        in_specs=([_io_spec(block, PTS_PAD), _io_spec(block, LAT)] + w_specs
+                  + [_io_spec(block, EMB), _io_spec(block, PTS_PAD),
+                     _io_spec(block, PTS_PAD)]),
+        out_specs=[_io_spec(block, PTS_PAD), _io_spec(block, LAT)] + dw_specs,
+        out_shape=([jax.ShapeDtypeStruct((n, PTS_PAD), jnp.float32),
+                    jax.ShapeDtypeStruct((n, LAT), jnp.float32)]
+                   + dw_shapes),
+    )(pts_pad, lat, *bw, demb, doff, drig)
+    return out[0], out[1], tuple(out[2:])
+
+
+_bend_core.defvjp(_bend_core_fwd, _bend_core_bwd)
+
+
+def _mlp_fwd_math(emb, w, return_acts=False):
+    (n0w, n0b, n1w, n1b, n2w, n2b, n3w, n3b, n4w, n4b,
+     n5e, n5h, n5b, n6w, n6b, n7w, n7b, ow, ob) = w
+    bf16 = jnp.bfloat16
+    embb = emb.astype(bf16)
+    nh1 = jax.nn.relu(_mm(embb, n0w) + n0b).astype(bf16)
+    nh2 = jax.nn.relu(_mm(nh1, n1w) + n1b).astype(bf16)
+    nh3 = jax.nn.relu(_mm(nh2, n2w) + n2b).astype(bf16)
+    nh4 = jax.nn.relu(_mm(nh3, n3w) + n3b).astype(bf16)
+    nh5 = jax.nn.relu(_mm(nh4, n4w) + n4b).astype(bf16)
+    nh6 = jax.nn.relu(_mm(nh5, n5h) + _mm(embb, n5e) + n5b).astype(bf16)
+    nh7 = jax.nn.relu(_mm(nh6, n6w) + n6b).astype(bf16)
+    nh8 = jax.nn.relu(_mm(nh7, n7w) + n7b).astype(bf16)
+    raw = _mm(nh8, ow) + ob
+    if not return_acts:
+        return raw
+    return raw, dict(embb=embb, nh1=nh1, nh2=nh2, nh3=nh3, nh4=nh4, nh5=nh5,
+                     nh6=nh6, nh7=nh7, nh8=nh8)
+
+
+def _mlp_fwd_kernel(emb_ref, *rest):
+    w = [r[:] for r in rest[:N_MLP_W]]
+    rest[N_MLP_W][:] = _mlp_fwd_math(emb_ref[:], w)
+
+
+def _mlp_bwd_kernel(emb_ref, *rest):
+    w = [r[:] for r in rest[:N_MLP_W]]
+    draw_ref = rest[N_MLP_W]
+    demb_ref = rest[N_MLP_W + 1]
+    dw_refs = rest[N_MLP_W + 2:]
+    (n0w, n0b, n1w, n1b, n2w, n2b, n3w, n3b, n4w, n4b,
+     n5e, n5h, n5b, n6w, n6b, n7w, n7b, ow, ob) = w
+    bf16 = jnp.bfloat16
+    _, a = _mlp_fwd_math(emb_ref[:], w, return_acts=True)
+
+    def mmT_nt(x, wt):
+        return jax.lax.dot_general(
+            x.astype(bf16), wt.astype(bf16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mmT_tn(act, g):
+        return jax.lax.dot_general(
+            act.astype(bf16), g.astype(bf16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def bsum(g):
+        return jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    draw = draw_ref[:]
+    drawb = draw.astype(bf16)
+    g_ow = mmT_tn(a["nh8"], drawb)
+    g_ob = bsum(draw)
+    dh8 = (mmT_nt(drawb, ow)
+           * (a["nh8"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n7w = mmT_tn(a["nh7"], dh8)
+    g_n7b = bsum(dh8)
+    dh7 = (mmT_nt(dh8, n7w)
+           * (a["nh7"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n6w = mmT_tn(a["nh6"], dh7)
+    g_n6b = bsum(dh7)
+    dh6 = (mmT_nt(dh7, n6w)
+           * (a["nh6"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n5h = mmT_tn(a["nh5"], dh6)
+    g_n5e = mmT_tn(a["embb"], dh6)
+    g_n5b = bsum(dh6)
+    demb = mmT_nt(dh6, n5e)
+    dh5 = (mmT_nt(dh6, n5h)
+           * (a["nh5"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n4w = mmT_tn(a["nh4"], dh5)
+    g_n4b = bsum(dh5)
+    dh4 = (mmT_nt(dh5, n4w)
+           * (a["nh4"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n3w = mmT_tn(a["nh3"], dh4)
+    g_n3b = bsum(dh4)
+    dh3 = (mmT_nt(dh4, n3w)
+           * (a["nh3"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n2w = mmT_tn(a["nh2"], dh3)
+    g_n2b = bsum(dh3)
+    dh2 = (mmT_nt(dh3, n2w)
+           * (a["nh2"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n1w = mmT_tn(a["nh1"], dh2)
+    g_n1b = bsum(dh2)
+    dh1 = (mmT_nt(dh2, n1w)
+           * (a["nh1"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n0w = mmT_tn(a["embb"], dh1)
+    g_n0b = bsum(dh1)
+    demb_ref[:] = demb + mmT_nt(dh1, n0w)
+
+    grads = [g_n0w, g_n0b, g_n1w, g_n1b, g_n2w, g_n2b, g_n3w, g_n3b,
+             g_n4w, g_n4b, g_n5e, g_n5h, g_n5b, g_n6w, g_n6b, g_n7w, g_n7b,
+             g_ow, g_ob]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for dw, g in zip(dw_refs, grads):
+            dw[:] = g
+
+    @pl.when(i > 0)
+    def _accum():
+        for dw, g in zip(dw_refs, grads):
+            dw[:] = dw[:] + g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mlp_core(emb, mw, block):
+    n = emb.shape[0]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mw]
+    return pl.pallas_call(
+        _mlp_fwd_kernel,
+        grid=(n // block,),
+        in_specs=[_io_spec(block, EMB)] + w_specs,
+        out_specs=_io_spec(block, OUT_PAD),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
+    )(emb, *mw)
+
+
+def _mlp_core_fwd(emb, mw, block):
+    return _mlp_core(emb, mw, block), (emb, mw)
+
+
+def _mlp_core_bwd(block, residuals, draw):
+    emb, mw = residuals
+    n = emb.shape[0]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mw]
+    dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for w in mw]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in mw]
+    out = pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=(n // block,),
+        in_specs=[_io_spec(block, EMB)] + w_specs + [_io_spec(block, OUT_PAD)],
+        out_specs=[_io_spec(block, EMB)] + dw_specs,
+        out_shape=[jax.ShapeDtypeStruct((n, EMB), jnp.float32)] + dw_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+    )(emb, *mw, draw)
+    return out[0], tuple(out[1:])
+
+
+_mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
+
+
+def fused_point_query_split(params, pts, latents, multires: int = 10,
+                            network: str = "coarse",
+                            block: int = DEFAULT_BLOCK):
+    """Two-kernel version of fused_point_query (same signature/returns)."""
+    weights = pack_fused_weights(params, multires, network)
+    bw, mw = weights[:N_BEND_W], weights[N_BEND_W:]
+    shape = pts.shape[:-1]
+    n = int(np.prod(shape))
+    n_pad = -(-n // block) * block
+
+    pts_pad = jnp.zeros((n_pad, PTS_PAD), jnp.float32)
+    pts_pad = pts_pad.at[:n, :3].set(pts.reshape(n, 3))
+    lat_pad = jnp.zeros((n_pad, LAT), jnp.float32)
+    lat_pad = lat_pad.at[:n].set(latents.reshape(n, LAT))
+
+    emb, off, rig = _bend_core(pts_pad, lat_pad, bw, block)
+    raw = _mlp_core(emb, mw, block)
+    raw = raw[:n, :4].reshape(shape + (4,))
+    off = off[:n, :3].reshape(shape + (3,))
+    rig = rig[:n, 0:1].reshape(shape + (1,))
+    return raw, off, rig
+
+
 def fused_point_query(params, pts, latents, multires: int = 10,
                       network: str = "coarse", block: int = DEFAULT_BLOCK):
     """Evaluate the fused chain for pts (..., 3) with latents (..., LAT).

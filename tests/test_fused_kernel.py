@@ -190,3 +190,28 @@ class TestIntegration:
                                               fused_kernel="on")
         with pytest.raises(ValueError):
             _use_fused_kernel(cfg_unsupported, EditConfig())
+
+
+class TestSplitKernel:
+    def test_split_matches_monolith_exactly(self):
+        params = make_params()
+        rng = np.random.RandomState(7)
+        pts = jnp.asarray(rng.randn(700, 3).astype(np.float32))
+        lat = jnp.asarray(0.1 * rng.randn(700, 32).astype(np.float32))
+        r1 = fq.fused_point_query(params, pts, lat, block=256)
+        r2 = fq.fused_point_query_split(params, pts, lat, block=256)
+        for a, b in zip(r1, r2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(fn):
+            def f(p):
+                raw, off, rig = fn(p, pts, lat, block=256)
+                return (jnp.mean(raw ** 2) + 10 * jnp.mean(off ** 2)
+                        + jnp.mean(rig ** 2))
+            return f
+
+        g1 = jax.grad(loss(fq.fused_point_query))(params)
+        g2 = jax.grad(loss(fq.fused_point_query_split))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
