@@ -12,7 +12,7 @@ hot loop never touches the host.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ the reference's netchunk-divisibility contortions (train.py:584-592).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

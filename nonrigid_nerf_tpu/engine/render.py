@@ -12,7 +12,6 @@ inside jit; there is no Python-level chunk loop on the hot path.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

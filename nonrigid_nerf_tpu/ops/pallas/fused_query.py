@@ -32,7 +32,6 @@ needs f32 mantissa).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ through the block renderer.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -13,7 +13,8 @@ directly (gaussian-filter formulation, identical math).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
+from typing import Optional
 
 import numpy as np
 

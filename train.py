@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.realpath(__file__)))
 
 from nonrigid_nerf_tpu import config as cfg_mod
-from nonrigid_nerf_tpu.config import (Args, DEFAULTS, EditConfig,
+from nonrigid_nerf_tpu.config import (Args, DEFAULTS,
                                       model_config_from_args,
                                       parse_config_file,
                                       render_settings_from_args,
