@@ -160,3 +160,54 @@ class TestFVRCLI:
                          "--num_target_frames", "7", "--fixed_view", "0"])
         files = [f for f in os.listdir(out) if f.startswith("rgb_")]
         assert len(files) == 7
+
+
+class TestRenderPathApp:
+    def test_artifacts_written(self, experiment, tmp_path):
+        import jax
+        import numpy as np
+        from nonrigid_nerf_tpu.apps.render_path import render_path
+        from nonrigid_nerf_tpu.checkpoints import load_checkpoint
+        from nonrigid_nerf_tpu.config import (Args, parse_config_file,
+                                              model_config_from_args,
+                                              render_settings_from_args)
+        _, args, folder = experiment
+        step, params, _, extras = load_checkpoint(
+            os.path.join(folder, "logs", "latest.npz"))
+        cfg = model_config_from_args(args)
+        rs = render_settings_from_args(args, 2.0, 6.0)
+        intrin = {k: float(v) if not isinstance(v, (int, float)) else v
+                  for k, v in extras["intrinsics"]["0"].items()}
+        pose = np.eye(4)[:3]
+        latents = np.asarray(params["latents"][:2])
+        gt = np.zeros((2, int(intrin["height"]), int(intrin["width"]), 3),
+                      np.float32)
+        outdir = tmp_path / "rp"
+        outdir.mkdir()
+        rgbs, disps = render_path(
+            params, cfg, rs, [pose, pose], [intrin, intrin], latents,
+            chunk=64, gt_imgs=gt, savedir=str(outdir), verbose=False)
+        assert rgbs.shape[0] == 2
+        files = set(os.listdir(outdir))
+        for want in ("000.png", "disp_000.png", "disp_jet_000.png",
+                     "disp_phong_000.png", "error_000.png", "001.png"):
+            assert want in files, files
+
+    def test_render_factor_downscales(self, experiment, tmp_path):
+        import numpy as np
+        from nonrigid_nerf_tpu.apps.render_path import render_path
+        from nonrigid_nerf_tpu.checkpoints import load_checkpoint
+        from nonrigid_nerf_tpu.config import (model_config_from_args,
+                                              render_settings_from_args)
+        _, args, folder = experiment
+        step, params, _, extras = load_checkpoint(
+            os.path.join(folder, "logs", "latest.npz"))
+        cfg = model_config_from_args(args)
+        rs = render_settings_from_args(args, 2.0, 6.0)
+        intrin = extras["intrinsics"]["0"]
+        pose = np.eye(4)[:3]
+        latents = np.asarray(params["latents"][:1])
+        rgbs, disps = render_path(params, cfg, rs, [pose], [intrin], latents,
+                                  chunk=64, render_factor=2, verbose=False)
+        assert rgbs.shape[1] == int(intrin["height"]) // 2
+        assert rgbs.shape[2] == int(intrin["width"]) // 2
