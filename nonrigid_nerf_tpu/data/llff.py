@@ -250,8 +250,15 @@ def get_intrinsics(datadir: str, dataset_extras: dict, images: np.ndarray,
     H, W = images.shape[1:3]
 
     if dataset_extras["is_multiview"]:
-        with open(os.path.join(
-                datadir, "calibration_averaged_camera_view.json")) as f:
+        # the reference code reads calibration_averaged_camera_view.json
+        # (train.py:1280-1283) but its README documents the per-camera
+        # intrinsics inside calibration.json itself (README.md:177-215);
+        # accept either
+        avg_path = os.path.join(datadir,
+                                "calibration_averaged_camera_view.json")
+        if not os.path.exists(avg_path):
+            avg_path = os.path.join(datadir, "calibration.json")
+        with open(avg_path) as f:
             calibration = json.load(f)
         for raw_view, cam in calibration.items():
             if raw_view in ("focal", "height", "width", "min_bound",

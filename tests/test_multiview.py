@@ -101,3 +101,28 @@ class TestMultiViewPipeline:
         state, metrics = step_fn(state, ds, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         assert state.params["latents"].shape == (3, 4)
+
+
+def test_intrinsics_fallback_to_calibration_json(tmp_path):
+    """Per the reference README, intrinsics may live inside calibration.json
+    itself instead of calibration_averaged_camera_view.json."""
+    n = write_multiview_dataset(str(tmp_path))
+    # merge the avg-view intrinsics into calibration.json, drop the avg file
+    with open(os.path.join(tmp_path, "calibration.json")) as f:
+        calib = json.load(f)
+    with open(os.path.join(tmp_path,
+                           "calibration_averaged_camera_view.json")) as f:
+        avg = json.load(f)
+    for view, cam in avg.items():
+        calib[view].update(cam)
+    with open(os.path.join(tmp_path, "calibration.json"), "w") as f:
+        json.dump(calib, f)
+    os.remove(os.path.join(tmp_path,
+                           "calibration_averaged_camera_view.json"))
+
+    from nonrigid_nerf_tpu.data import load_llff_data_multi_view
+    images, poses, *_ = load_llff_data_multi_view(str(tmp_path), factor=1)
+    extras = get_multi_view_mappings(n, str(tmp_path))
+    intrin = get_intrinsics(str(tmp_path), extras, images, poses[0, :, 4])
+    assert intrin[0]["focal_x"] == 20.0
+    assert intrin[1]["focal_x"] == 21.0
