@@ -74,23 +74,37 @@ def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
 
 def _fused_query_points(params, cfg: ModelConfig, pts, latents,
                         network: str, detailed: bool):
-    """query_points via the fused Pallas kernel (ops/pallas/fused_query)."""
+    """query_points via the Pallas MLP kernel (ops/pallas/fused_query).
+
+    Hybrid layout, chosen by measurement: the bend/rigidity/encoding stage
+    runs in XLA (small-lane ops cost full 128-lane vectors inside Mosaic,
+    making a hand kernel SLOWER there), while the canonical 8x256 MLP — the
+    FLOP and activation-traffic bulk — runs as the Pallas kernel with
+    VMEM-resident weights and an in-VMEM recompute backward.
+    """
     from nonrigid_nerf_tpu.ops.pallas.fused_query import (
-        fused_point_query_split)
+        N_BEND_W, pack_fused_weights, _mlp_core)
     R, S = pts.shape[:-1]
     latents_per_pt = jnp.broadcast_to(latents[..., None, :],
                                       (R, S, latents.shape[-1]))
-    raw, offsets, rigidity = fused_point_query_split(
-        params, pts, latents_per_pt, multires=cfg.multires, network=network)
+    bent, bend_details = bend_points(params["bender"], pts, latents_per_pt,
+                                     compute_dtype=jnp.bfloat16)
+    emb = fourier_embed(bent, cfg.multires)              # (R, S, 63) f32
+    n = R * S
+    block = 1024
+    n_pad = -(-n // block) * block
+    emb_flat = jnp.zeros((n_pad, 64), jnp.float32)
+    emb_flat = emb_flat.at[:n, :63].set(emb.reshape(n, 63))
+    mw = pack_fused_weights(params, cfg.multires, network)[N_BEND_W:]
+    raw = _mlp_core(emb_flat, mw, block)[:n, :4].reshape(R, S, 4)
     if not detailed:
         return raw
-    masked = rigidity * offsets
     details = {
         "initial_input_pts": jax.lax.stop_gradient(pts),
-        "unmasked_offsets": offsets,
-        "rigidity_mask": rigidity,
-        "masked_offsets": masked,
-        "input_pts": jax.lax.stop_gradient(pts + masked),
+        "unmasked_offsets": bend_details["unmasked_offsets"],
+        "rigidity_mask": bend_details["rigidity_mask"],
+        "masked_offsets": bend_details["masked_offsets"],
+        "input_pts": jax.lax.stop_gradient(bent),
     }
     return raw, details
 
