@@ -103,6 +103,24 @@ class TestMultiViewPipeline:
         assert state.params["latents"].shape == (3, 4)
 
 
+def test_load_dataset_divides_multiview_intrinsics_by_factor(tmp_path):
+    """Training multi-view data with factor>1 must downscale the
+    FULL-resolution calibration.json focal/center values to match the
+    downsampled images (reference: train.py:1354-1366)."""
+    write_multiview_dataset(str(tmp_path))
+    import train as train_module
+    from nonrigid_nerf_tpu.config import Args
+
+    args = Args(datadir=str(tmp_path), factor=2, ray_bending_latent_size=4)
+    (ds, images, poses, render_poses, intrinsics, extras,
+     i_train, i_test) = train_module.load_dataset(args)
+    assert images.shape[1:3] == (5, 6)          # 10x12 pooled by 2
+    assert intrinsics[0]["focal_x"] == 10.0     # 20.0 / factor
+    assert intrinsics[1]["focal_x"] == 10.5     # 21.0 / factor
+    assert intrinsics[0]["center_x"] == 3.0     # (12/2) / factor
+    assert intrinsics[0]["height"] == 5 and intrinsics[0]["width"] == 6
+
+
 def test_intrinsics_fallback_to_calibration_json(tmp_path):
     """Per the reference README, intrinsics may live inside calibration.json
     itself instead of calibration_averaged_camera_view.json."""

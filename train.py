@@ -123,8 +123,12 @@ def load_dataset(args: Args):
     images, poses, bds, render_poses, _ = loader(datadir, factor=args.factor)
     extras = get_multi_view_mappings(images.shape[0], datadir)
     hwf = poses[0, :3, 4]
+    # multi-view calibration.json stores FULL-resolution focal/center values;
+    # divide them by args.factor to match the downsampled images (reference:
+    # train.py:1354-1366). The monocular branch is factor-invariant: its
+    # focal comes from hwf, which the loader already rescaled.
     intrinsics = get_intrinsics(
-        datadir, extras, images, hwf, factor=1,
+        datadir, extras, images, hwf, factor=args.factor,
         ray_bending_latent_size=args.ray_bending_latent_size)
 
     i_train, i_test = block_train_test_split(
