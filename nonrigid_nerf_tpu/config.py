@@ -62,12 +62,18 @@ class ModelConfig:
     N_samples: int = 64
     N_importance: int = 64
 
-    # numerics: params are always fp32; compute may run in bf16 on TPU.
+    # numerics: params are always fp32; compute_dtype sets the inter-layer
+    # activation dtype of the XLA bend/rigidity path ("float32" = reference
+    # parity, "bfloat16" = faster on TPU, measured ~-0.1 dB at 200k steps).
     compute_dtype: str = "float32"
 
     # fused Pallas point-query kernel: "auto" uses it on TPU whenever the
     # architecture + edit settings allow (see ops/pallas/fused_query.py),
-    # "on" forces it, "off" always uses the plain XLA path.
+    # "on" forces it, "off" always uses the plain XLA path. NOTE: the kernel
+    # runs its matmuls on the bf16 MXU with f32 accumulation regardless of
+    # compute_dtype (measured PSNR parity with the f32 XLA path); the
+    # bend/rigidity stage honors compute_dtype. For strict reference-parity
+    # numerics set fused_kernel = "off".
     fused_kernel: str = "auto"
 
     def __post_init__(self):
@@ -163,6 +169,7 @@ class TrainConfig:
 _BOOL_KEYS = {
     "no_reload", "render_test", "spherify", "debug", "use_viewdirs",
     "approx_nonrigid_viewdirs", "time_conditioned_baseline",
+    "use_rigidity_network",
 }
 _BOOL_KEYS.add("metrics_file")
 _INT_KEYS = {
@@ -172,6 +179,7 @@ _INT_KEYS = {
     "i_embed", "multires", "multires_views", "render_factor",
     "precrop_iters", "factor", "i_print", "i_img", "i_weights", "i_testset",
     "i_video", "lrate_decay", "profile_steps",
+    "bending_depth", "bending_width", "rigidity_depth", "rigidity_width",
 }
 _FLOAT_KEYS = {
     "lrate", "perturb", "offsets_loss_weight", "divergence_loss_weight",
@@ -190,6 +198,11 @@ DEFAULTS = {
     "no_reload": False, "ft_path": None, "seed": -1,
     "ray_bending": "None", "ray_bending_latent_size": 32,
     "approx_nonrigid_viewdirs": False, "time_conditioned_baseline": False,
+    # TPU-native knobs (no reference analog)
+    "bending_depth": 5, "bending_width": 64,
+    "rigidity_depth": 3, "rigidity_width": 32,
+    "use_rigidity_network": True, "bending_activation": "relu",
+    "compute_dtype": "float32", "fused_kernel": "auto",
     "train_block_size": 0, "test_block_size": 0,
     "N_samples": 64, "N_importance": 0, "perturb": 1.0,
     "offsets_loss_weight": 0.0, "divergence_loss_weight": 0.0,
@@ -284,9 +297,25 @@ def model_config_from_args(args: Args) -> ModelConfig:
         approx_nonrigid_viewdirs=args.approx_nonrigid_viewdirs,
         ray_bending=args.ray_bending,
         ray_bending_latent_size=args.ray_bending_latent_size,
+        bending_depth=args.bending_depth, bending_width=args.bending_width,
+        bending_activation=args.bending_activation,
+        use_rigidity_network=args.use_rigidity_network,
+        rigidity_depth=args.rigidity_depth,
+        rigidity_width=args.rigidity_width,
         time_conditioned_baseline=args.time_conditioned_baseline,
         N_samples=args.N_samples, N_importance=args.N_importance,
+        compute_dtype=args.compute_dtype, fused_kernel=args.fused_kernel,
     )
+
+
+def resolve_seed(args: Args) -> Args:
+    """seed=-1 means 'unseeded': draw a fresh random seed. The resolved value
+    is what gets dumped to args.txt, so the run stays reproducible after the
+    fact (reference analog: -1 leaves torch RNG unseeded, train.py:1052)."""
+    if args.seed is not None and args.seed >= 0:
+        return args
+    import secrets
+    return args.replace(seed=secrets.randbelow(2 ** 31))
 
 
 def train_config_from_args(args: Args) -> TrainConfig:
@@ -296,7 +325,7 @@ def train_config_from_args(args: Args) -> TrainConfig:
         offsets_loss_weight=args.offsets_loss_weight,
         divergence_loss_weight=args.divergence_loss_weight,
         rigidity_loss_weight=args.rigidity_loss_weight,
-        seed=args.seed if args.seed >= 0 else 0,
+        seed=resolve_seed(args).seed,
     )
 
 

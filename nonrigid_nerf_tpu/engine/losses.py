@@ -38,13 +38,21 @@ def loss_schedule_factor(step, n_iters: int):
 
 
 def offsets_and_rigidity_loss(render_out, rigidity_loss_weight: float):
-    """Per-ray offsets + rigidity regularizer (reference: train.py:219-236)."""
+    """Per-ray offsets + rigidity regularizer (reference: train.py:219-236).
+
+    Without a rigidity network there is no mask/exponent modulation; the loss
+    degrades to the plain weighted L1 of the offsets (the reference's
+    commented-out no-rigidity variant, train.py:232-234) and the rigidity
+    term vanishes."""
     offsets = render_out["unmasked_offsets"]            # (R, S, 3)
-    rigidity = render_out["rigidity_mask"][..., 0]      # (R, S)
     weights = jax.lax.stop_gradient(
         render_out["visibility_weights"])               # (R, S) coarse
-
     norm = safe_norm(offsets, axis=-1)
+
+    if "rigidity_mask" not in render_out:
+        return jnp.mean(weights * norm, axis=-1)        # (R,)
+
+    rigidity = render_out["rigidity_mask"][..., 0]      # (R, S)
     per_sample = weights * safe_pow(norm, 2.0 - rigidity)
     loss = jnp.mean(per_sample, axis=-1)                # (R,)
     loss = loss + rigidity_loss_weight * jnp.mean(weights * rigidity, axis=-1)

@@ -88,7 +88,7 @@ def _fused_query_points(params, cfg: ModelConfig, pts, latents,
     latents_per_pt = jnp.broadcast_to(latents[..., None, :],
                                       (R, S, latents.shape[-1]))
     bent, bend_details = bend_points(params["bender"], pts, latents_per_pt,
-                                     compute_dtype=jnp.bfloat16)
+                                     compute_dtype=jnp.dtype(cfg.compute_dtype))
     emb = fourier_embed(bent, cfg.multires)              # (R, S, 63) f32
     n = R * S
     block = 1024

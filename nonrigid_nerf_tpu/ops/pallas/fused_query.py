@@ -62,6 +62,10 @@ def supports_fused_query(cfg) -> bool:
             and cfg.i_embed == 0
             and cfg.multires == 10
             and cfg.netdepth == 8 and cfg.netwidth == NW
+            # the fine pass routes through the same kernel/weight packing,
+            # so a non-default fine architecture must fall back to XLA
+            and (cfg.N_importance <= 0
+                 or (cfg.netdepth_fine == 8 and cfg.netwidth_fine == NW))
             and tuple(cfg.skips) == (4,)
             and cfg.bending_depth == 5 and cfg.bending_width == BW
             and cfg.rigidity_depth == 3 and cfg.rigidity_width == RW

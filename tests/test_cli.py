@@ -109,6 +109,63 @@ class TestTrainCLI:
         assert "Reloading from" in out
 
 
+class TestConfigKnobs:
+    def test_tpu_knobs_roundtrip_through_args_txt(self, tmp_path):
+        """compute_dtype / fused_kernel / bending + rigidity arch knobs must
+        be settable in a config file and survive the args.txt round-trip."""
+        from nonrigid_nerf_tpu.config import (Args, model_config_from_args,
+                                              parse_config_file)
+        cfg_path = tmp_path / "knobs.txt"
+        cfg_path.write_text(
+            "compute_dtype = bfloat16\n"
+            "fused_kernel = off\n"
+            "bending_depth = 4\n"
+            "bending_width = 48\n"
+            "bending_activation = sin\n"
+            "rigidity_depth = 2\n"
+            "rigidity_width = 16\n"
+            "use_rigidity_network = False\n"
+            "ray_bending = simple_neural\n")
+        args = train_cli.parse_args(["--config", str(cfg_path)])
+        cfg = model_config_from_args(args)
+        assert cfg.compute_dtype == "bfloat16"
+        assert cfg.fused_kernel == "off"
+        assert cfg.bending_depth == 4 and cfg.bending_width == 48
+        assert cfg.bending_activation == "sin"
+        assert cfg.rigidity_depth == 2 and cfg.rigidity_width == 16
+        assert cfg.use_rigidity_network is False
+
+        dumped = tmp_path / "args.txt"
+        args.dump(str(dumped))
+        loaded = Args(**parse_config_file(str(dumped)))
+        cfg2 = model_config_from_args(loaded)
+        assert cfg2 == cfg
+
+    def test_tpu_knobs_settable_from_cli(self, tmp_path):
+        from nonrigid_nerf_tpu.config import model_config_from_args
+        args = train_cli.parse_args(
+            ["--compute_dtype", "bfloat16", "--fused_kernel", "on",
+             "--no_use_rigidity_network", "--bending_width", "128"])
+        cfg = model_config_from_args(args)
+        assert cfg.compute_dtype == "bfloat16"
+        assert cfg.fused_kernel == "on"
+        assert cfg.use_rigidity_network is False
+        assert cfg.bending_width == 128
+
+    def test_seed_minus_one_draws_random_seed(self):
+        """seed=-1 = unseeded: resolve to a fresh random seed instead of a
+        constant (reference: train.py:1052 leaves RNG unseeded at -1)."""
+        from nonrigid_nerf_tpu.config import (Args, resolve_seed,
+                                              train_config_from_args)
+        args = Args(seed=-1)
+        seeds = {resolve_seed(args).seed for _ in range(8)}
+        assert all(s >= 0 for s in seeds)
+        assert len(seeds) > 1, "unseeded runs must not all collide"
+        # explicit seeds stay deterministic
+        assert resolve_seed(Args(seed=7)).seed == 7
+        assert train_config_from_args(Args(seed=7)).seed == 7
+
+
 class TestFVRCLI:
     def _run(self, experiment, extra):
         _, args, folder = experiment

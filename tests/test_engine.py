@@ -26,9 +26,10 @@ def make_params(cfg, seed=0, randomize_bender=False):
             # un-zero the output layers so deformation is nontrivial
             bender["bend"][-1]["w"] = 0.1 * jax.random.normal(
                 keys[3], bender["bend"][-1]["w"].shape)
-            bender["rigidity"][-1]["w"] = 0.5 * jax.random.normal(
-                jax.random.PRNGKey(seed + 7),
-                bender["rigidity"][-1]["w"].shape)
+            if "rigidity" in bender:
+                bender["rigidity"][-1]["w"] = 0.5 * jax.random.normal(
+                    jax.random.PRNGKey(seed + 7),
+                    bender["rigidity"][-1]["w"].shape)
         params["bender"] = bender
     return params
 
@@ -180,6 +181,27 @@ class TestLosses:
         assert np.isfinite(float(val))
         for leaf in jax.tree_util.tree_leaves(grads):
             assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_offsets_loss_without_rigidity_network(self):
+        """With use_rigidity_network=False the offsets loss degrades to the
+        plain weighted L1 (the reference's commented-out variant,
+        train.py:232-234) instead of crashing on the missing mask."""
+        import dataclasses
+        cfg = dataclasses.replace(SMALL, use_rigidity_network=False)
+        tc = TrainConfig(offsets_loss_weight=60.0, divergence_loss_weight=3.0,
+                         rigidity_loss_weight=5e-4, N_iters=100)
+        params = make_params(cfg, randomize_bender=True)
+        out, lat = self._render(cfg, params)
+        assert "rigidity_mask" not in out
+        loss, aux = per_ray_losses(jax.random.PRNGKey(2), params, cfg, tc,
+                                   out, jnp.zeros((8, 3)), lat, step=50)
+        assert np.isfinite(np.asarray(loss)).all()
+        from nonrigid_nerf_tpu.ops.math import safe_norm
+        expected = jnp.mean(
+            out["visibility_weights"]
+            * safe_norm(out["unmasked_offsets"], axis=-1), axis=-1)
+        np.testing.assert_allclose(np.asarray(aux["offsets_loss"]),
+                                   np.asarray(expected), rtol=1e-6)
 
     def test_divergence_exact_matches_jacfwd(self):
         params = make_params(SMALL, randomize_bender=True)

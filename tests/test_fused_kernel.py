@@ -191,6 +191,21 @@ class TestIntegration:
         with pytest.raises(ValueError):
             _use_fused_kernel(cfg_unsupported, EditConfig())
 
+    def test_auto_falls_back_on_nondefault_fine_network(self):
+        """query_points routes the fine pass through the kernel too, so a
+        non-default fine architecture must fall back to XLA under 'auto'
+        rather than crash at trace time."""
+        import dataclasses
+        from nonrigid_nerf_tpu.ops.pallas.fused_query import \
+            supports_fused_query
+        assert supports_fused_query(CFG)
+        cfg_fine = dataclasses.replace(CFG, netdepth_fine=4,
+                                       netwidth_fine=128)
+        assert not supports_fused_query(cfg_fine)
+        # ...but a coarse-only run with an exotic fine arch is fine
+        cfg_coarse_only = dataclasses.replace(cfg_fine, N_importance=0)
+        assert supports_fused_query(cfg_coarse_only)
+
 
 class TestSplitKernel:
     def test_split_matches_monolith_exactly(self):

@@ -42,8 +42,11 @@ def config_parser() -> argparse.ArgumentParser:
         if key == "config":
             continue
         if key in cfg_mod._BOOL_KEYS:
-            parser.add_argument(f"--{key}", default=None,
+            parser.add_argument(f"--{key}", dest=key, default=None,
                                 action="store_true")
+            # bools that default to True need an explicit off switch
+            parser.add_argument(f"--no_{key}", dest=key, default=None,
+                                action="store_false")
         elif key in cfg_mod._INT_KEYS:
             parser.add_argument(f"--{key}", type=int, default=None)
         elif key in cfg_mod._FLOAT_KEYS:
@@ -167,6 +170,10 @@ def main_function(args: Args) -> None:
 
     if args.debug:
         jax.config.update("jax_debug_nans", True)
+
+    # seed=-1 -> fresh random seed, resolved BEFORE args.txt is dumped so the
+    # run is reproducible after the fact
+    args = cfg_mod.resolve_seed(args)
 
     (ds, images, poses, render_poses, intrinsics, extras,
      i_train, i_test) = load_dataset(args)
