@@ -1,10 +1,11 @@
 """Multi-device tests on the virtual 8-device CPU mesh.
 
 The key correctness property (the TPU replacement for DataParallel
-correctness, SURVEY.md §4): sharded and single-device training produce the
-same gradients for the same global ray batch — verified here by equality of
-loss trajectories under matched sampling, and by the parallel renderer
-matching the single-device renderer exactly.
+correctness, SURVEY.md §4): the sharded step's psum of per-device
+masked-sum gradients (normalized by the global batch) equals the
+single-device gradient of the union of all device sub-batches — asserted
+leaf-by-leaf below by reconstructing each device's fold_in sub-batch, plus
+the parallel renderer matching the single-device renderer exactly.
 """
 
 import dataclasses
@@ -65,37 +66,142 @@ class TestParallelTrainStep:
         for v in vals[1:]:
             np.testing.assert_array_equal(vals[0], v)
 
+    @staticmethod
+    def _union_batch(key, ds, n_dev, local_rand):
+        """Reconstruct every device's fold_in sub-batch exactly as
+        _local_step derives it (parallel/mesh.py: fold_in(fold_in(key, step),
+        axis_index) at step 0) and concatenate into the union batch."""
+        from nonrigid_nerf_tpu.data.dataset import sample_ray_batch
+        batches = []
+        for idx in range(n_dev):
+            k = jax.random.fold_in(jax.random.fold_in(key, 0), idx)
+            k_batch, _, _ = jax.random.split(k, 3)
+            batches.append(sample_ray_batch(k_batch, ds, local_rand))
+        return {f: jnp.concatenate([b[f] for b in batches])
+                for f in batches[0]}
+
+    @staticmethod
+    def _union_vjp(state, ds, union, tc, rs):
+        """Plain single-device jax.vjp of the per-ray losses over the union
+        batch; returns (vjp_fn, n_rand)."""
+        from nonrigid_nerf_tpu.engine.losses import per_ray_losses
+        from nonrigid_nerf_tpu.engine.render import render_rays
+
+        def losses_fn(params):
+            latents = params["latents"][union["timestep_ids"]]
+            out = render_rays(params, TINY, rs, union["rays_o"],
+                              union["rays_d"], latents, key=None,
+                              detailed=True)
+            losses, _ = per_ray_losses(jax.random.PRNGKey(0), params, TINY,
+                                       tc, out, union["target_rgb"], latents,
+                                       0)
+            return losses
+
+        _, vjp_fn = jax.vjp(losses_fn, state.params)
+        return vjp_fn
+
+    @staticmethod
+    def _perturb_params(params):
+        """Make gradients non-trivial everywhere: lift the density bias (at
+        init the raw density is negative at every sample point, so relu
+        zeroes all coarse-network gradients) and un-zero the bending output
+        layer."""
+        for net in ("coarse", "fine"):
+            params[net]["output"]["b"] = \
+                params[net]["output"]["b"].at[3].set(0.5)
+        params["bender"]["bend"][-1]["w"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(9), params["bender"]["bend"][-1]["w"].shape)
+        return params
+
+    @staticmethod
+    def _grads_from_adam_state(new_state):
+        """First Adam step from zero moments: mu1 = (1 - b1) * grad, so the
+        exact psum'd gradient is recoverable from the updated opt state."""
+        return jax.tree_util.tree_map(lambda m: m / 0.1,
+                                      new_state.opt_state[0].mu)
+
+    @staticmethod
+    def _assert_trees_close(tree_a, tree_b, rtol=5e-5, atol=1e-7):
+        leaves_a = jax.tree_util.tree_flatten_with_path(tree_a)[0]
+        leaves_b = jax.tree_util.tree_flatten_with_path(tree_b)[0]
+        assert len(leaves_a) == len(leaves_b)
+        for (path, a), (_, b) in zip(leaves_a, leaves_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+                err_msg=jax.tree_util.keystr(path))
+
     def test_gradient_equivalence_with_single_device(self, tmp_path):
-        """With indicator-normalization by the GLOBAL batch, the psum of
-        per-device masked grads equals the single-device grad of the union
-        batch. We can't force identical samples across the two samplers, so
-        instead check a 1-device mesh reproduces the single-device step
-        exactly."""
+        """The mathematical core of the multi-chip design (parallel/mesh.py:
+        7-12,83-91): the psum over devices of per-device masked-sum
+        gradients normalized by the GLOBAL batch equals the single-device
+        gradient of the union batch. Deterministic render settings
+        (perturb=0, no density noise, no Hutchinson term) make the
+        per-device render/loss keys inert, so the equality is exact up to
+        f32 summation order."""
         ds = build_tiny_dataset(tmp_path)
-        tc = TrainConfig(N_rand=64, N_iters=100, offsets_loss_weight=60.0,
-                         divergence_loss_weight=3.0)
-        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0)
-        mesh1 = make_mesh(jax.devices()[:1])
+        n_dev = len(jax.devices())
+        assert n_dev == 8
+        n_rand = 8 * n_dev
+        tc = TrainConfig(N_rand=n_rand, N_iters=100, offsets_loss_weight=60.0,
+                         rigidity_loss_weight=5e-4)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                            perturb=0.0, raw_noise_std=0.0)
+        mesh = make_mesh()
         state = create_train_state(jax.random.PRNGKey(0), TINY, tc,
                                    ds.num_timesteps)
+        self._perturb_params(state.params)
 
-        par_fn = make_parallel_train_step(TINY, tc, rs, mesh1,
-                                          has_test_split=False, donate=False)
-        single_fn = make_train_step(TINY, tc, rs, has_test_split=False,
-                                    donate=False)
-        # make the single-device path use the same key derivation as the
-        # parallel one: fold_in(fold_in(key, step), axis_index=0)
         key = jax.random.PRNGKey(5)
-        s_par, m_par = par_fn(state, ds, key)
+        step_fn = make_parallel_train_step(TINY, tc, rs, mesh,
+                                           has_test_split=False, donate=False)
+        s_par, _ = step_fn(state, ds, key)
+        grads_par = self._grads_from_adam_state(s_par)
 
-        state_single = create_train_state(jax.random.PRNGKey(0), TINY, tc,
-                                          ds.num_timesteps)
-        k_single = jax.random.fold_in(key, 0)  # mimic axis fold
-        s_sin, m_sin = single_fn(state_single, ds, k_single)
-        # same math modulo key derivation: both must be finite and the same
-        # order of magnitude; exact-equality is checked for the renderer below
-        assert np.isfinite(float(m_par["loss"]))
-        assert np.isfinite(float(m_sin["loss"]))
+        union = self._union_batch(key, ds, n_dev, n_rand // n_dev)
+        vjp_fn = self._union_vjp(state, ds, union, tc, rs)
+        grads_union, = vjp_fn(union["train_indicator"] / n_rand)
+
+        # sanity: the batch is non-degenerate and gradients are non-trivial
+        assert float(jnp.abs(grads_union["latents"]).max()) > 0
+        assert float(jnp.abs(
+            grads_union["coarse"]["pts"][0]["w"]).max()) > 0
+        self._assert_trees_close(grads_par, grads_union)
+
+    def test_gradient_equivalence_two_phase(self, tmp_path):
+        """Same equivalence under has_test_split: network gradients come from
+        the train cotangent only, latent gradients from train + test
+        cotangents (reference two-phase backward, train.py:1594-1608)."""
+        ds = build_tiny_dataset(tmp_path, train_block=1, test_block=1)
+        assert float(ds.test_indicator.sum()) > 0
+        n_dev = len(jax.devices())
+        n_rand = 8 * n_dev
+        tc = TrainConfig(N_rand=n_rand, N_iters=100, offsets_loss_weight=60.0,
+                         rigidity_loss_weight=5e-4)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                            perturb=0.0, raw_noise_std=0.0)
+        mesh = make_mesh()
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc,
+                                   ds.num_timesteps)
+        self._perturb_params(state.params)
+
+        key = jax.random.PRNGKey(6)
+        step_fn = make_parallel_train_step(TINY, tc, rs, mesh,
+                                           has_test_split=True, donate=False)
+        s_par, _ = step_fn(state, ds, key)
+        grads_par = self._grads_from_adam_state(s_par)
+
+        union = self._union_batch(key, ds, n_dev, n_rand // n_dev)
+        assert float(union["test_indicator"].sum()) > 0
+        vjp_fn = self._union_vjp(state, ds, union, tc, rs)
+        train_grads, = vjp_fn(union["train_indicator"] / n_rand)
+        test_grads, = vjp_fn(union["test_indicator"] / n_rand)
+        expected = {**train_grads,
+                    "latents": train_grads["latents"]
+                    + test_grads["latents"]}
+
+        self._assert_trees_close(grads_par, expected)
+        # latent isolation: test rays must contribute to latents only
+        assert float(jnp.abs(test_grads["latents"]).max()) > 0
 
     def test_test_split_isolation_parallel(self, tmp_path):
         ds = build_tiny_dataset(tmp_path, train_block=1, test_block=1)
