@@ -88,7 +88,6 @@ def free_viewpoint_rendering(fvr_args):
 
     from nonrigid_nerf_tpu.config import (EditConfig, model_config_from_args,
                                           render_settings_from_args)
-    from nonrigid_nerf_tpu.engine.render import make_ray_renderer
     from nonrigid_nerf_tpu.ops.math import to8b
     from nonrigid_nerf_tpu.ops.rays import get_rays
     from nonrigid_nerf_tpu.utils.metrics import lpips_distance, psnr, ssim
@@ -194,9 +193,12 @@ def free_viewpoint_rendering(fvr_args):
         intrin = path_intrinsics[f]
         H, W = int(intrin["height"]), int(intrin["width"])
         if (H, W) not in renderer_cache:
-            renderer_cache[(H, W)] = make_ray_renderer(
-                cfg, rs, edit=edit, chunk=min(args.chunk, H * W),
-                detailed=True, postprocess=_surface_post)
+            # shards rays over all visible devices when there are several
+            # (reference analog: DataParallel render wrapper, train.py:320-323)
+            from nonrigid_nerf_tpu.parallel import make_auto_renderer
+            renderer_cache[(H, W)] = make_auto_renderer(
+                cfg, rs, edit=edit, chunk=args.chunk,
+                detailed=True, postprocess=_surface_post, n_rays_hint=H * W)
         render_fn = renderer_cache[(H, W)]
 
         rays_o, rays_d = get_rays(

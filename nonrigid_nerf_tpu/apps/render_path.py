@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from nonrigid_nerf_tpu.config import EditConfig, ModelConfig, RenderSettings
-from nonrigid_nerf_tpu.engine.render import make_ray_renderer
 from nonrigid_nerf_tpu.ops.math import to8b
 from nonrigid_nerf_tpu.ops.rays import get_rays
 from nonrigid_nerf_tpu.utils.viz import (disparity_to_blinn_phong,
@@ -66,9 +65,13 @@ def render_path(params, cfg: ModelConfig, rs: RenderSettings, render_poses,
         if renderer is None:
             key_hw = (H, W)
             if key_hw not in renderer_cache:
-                renderer_cache[key_hw] = make_ray_renderer(
-                    cfg, rs, edit=edit, chunk=min(chunk, H * W),
-                    detailed=detailed)
+                # shards rays over all visible devices when there are
+                # several (reference analog: DataParallel render wrapper,
+                # train.py:320-323)
+                from nonrigid_nerf_tpu.parallel import make_auto_renderer
+                renderer_cache[key_hw] = make_auto_renderer(
+                    cfg, rs, edit=edit, chunk=chunk, detailed=detailed,
+                    n_rays_hint=H * W)
             render_fn = renderer_cache[key_hw]
         else:
             render_fn = renderer

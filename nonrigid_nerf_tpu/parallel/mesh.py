@@ -121,17 +121,21 @@ def make_parallel_train_step(cfg: ModelConfig, tc: TrainConfig,
 
 
 def make_parallel_renderer(cfg: ModelConfig, rs: RenderSettings, mesh: Mesh,
-                           chunk: int = 32768, edit=None):
+                           chunk: int = 32768, edit=None,
+                           detailed: bool = False, postprocess=None):
     """Multi-device inference: shard the flat ray array over the mesh
     (reference analog: render_wrapper_class, train.py:300-323).
 
     Returns fn(params, rays_o (N,3), rays_d, latents, key|None) -> dict.
     N is padded to a multiple of devices*chunk by the caller-facing wrapper.
+    `detailed`/`postprocess` pass through to the per-device block renderer
+    (postprocess runs on-device per block, before the shard_map gather).
     """
     from nonrigid_nerf_tpu.config import EditConfig
     edit = edit if edit is not None else EditConfig()
     n_dev = mesh.devices.size
-    block = make_ray_renderer(cfg, rs, edit=edit, chunk=chunk, jit=False)
+    block = make_ray_renderer(cfg, rs, edit=edit, chunk=chunk, jit=False,
+                              detailed=detailed, postprocess=postprocess)
 
     def _local(params, rays_o, rays_d, latents, key):
         if key is not None:
@@ -155,5 +159,37 @@ def make_parallel_renderer(cfg: ModelConfig, rs: RenderSettings, mesh: Mesh,
             rays_o, rays_d, latents = map(_pad, (rays_o, rays_d, latents))
         out = sharded(params, rays_o, rays_d, latents, key)
         return jax.tree_util.tree_map(lambda x: x[:n], out)
+
+    return render_all
+
+
+def make_auto_renderer(cfg: ModelConfig, rs: RenderSettings, edit=None,
+                       chunk: int = 32768, detailed: bool = False,
+                       postprocess=None, n_rays_hint: Optional[int] = None):
+    """Renderer that shards over all visible devices when there is more than
+    one, single-device otherwise — the inference analog of the reference's
+    optional DataParallel wrap (reference: train.py:320-323). Uniform
+    signature: fn(params, rays_o (N,3), rays_d, latents, key=None) -> dict.
+
+    `n_rays_hint` (e.g. H*W) lets the multi-device path shrink its per-device
+    chunk so padding to devices*chunk wastes little work."""
+    from nonrigid_nerf_tpu.config import EditConfig
+    edit = edit if edit is not None else EditConfig()
+    devices = jax.devices()
+    if len(devices) > 1:
+        if n_rays_hint:
+            per_dev = -(-int(n_rays_hint) // len(devices))
+            chunk = max(1, min(chunk, per_dev))
+        return make_parallel_renderer(cfg, rs, make_mesh(devices),
+                                      chunk=chunk, edit=edit,
+                                      detailed=detailed,
+                                      postprocess=postprocess)
+    if n_rays_hint:
+        chunk = max(1, min(chunk, int(n_rays_hint)))
+    single = make_ray_renderer(cfg, rs, edit=edit, chunk=chunk,
+                               detailed=detailed, postprocess=postprocess)
+
+    def render_all(params, rays_o, rays_d, latents, key=None):
+        return single(params, rays_o, rays_d, latents, key)
 
     return render_all

@@ -242,3 +242,55 @@ class TestParallelRenderer:
         np.testing.assert_allclose(np.asarray(out_p["disp_map"]),
                                    np.asarray(out_s["disp_map"]), atol=1e-4)
         assert out_p["rgb_map"].shape == (100, 3)
+
+    def test_detailed_postprocess_matches_single_device(self):
+        """The FVR surface-extraction postprocess must run per-device inside
+        the sharded renderer and gather to the same maps as single-device."""
+        import free_viewpoint_rendering as fvr
+        from tests.test_engine import make_params, make_ray_batch
+        params = make_params(TINY, randomize_bender=True)
+        ro, rd, lat = make_ray_batch(n=50, latent=4)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=1.0, far=4.0,
+                            perturb=0.0)
+        mesh = make_mesh()
+        par = make_parallel_renderer(TINY, rs, mesh, chunk=8, detailed=True,
+                                     postprocess=fvr._surface_post)
+        out_p = par(params, ro, rd, lat)
+        single = make_ray_renderer(TINY, rs, chunk=8, jit=False,
+                                   detailed=True,
+                                   postprocess=fvr._surface_post)
+        out_s = single(params, ro, rd, lat, None)
+        assert set(out_p) == set(out_s)
+        assert "surface_points" in out_p and "surface_rigidity" in out_p
+        for k in out_s:
+            np.testing.assert_allclose(np.asarray(out_p[k]),
+                                       np.asarray(out_s[k]), atol=1e-5,
+                                       err_msg=k)
+
+    def test_render_path_app_uses_mesh_and_matches(self, tmp_path):
+        """apps.render_path must produce identical frames whether its
+        auto-renderer shards over the 8-device mesh or a single-device
+        renderer is injected."""
+        from nonrigid_nerf_tpu.apps.render_path import render_path
+        from tests.test_engine import make_params
+        params = make_params(TINY, randomize_bender=True)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=1.0, far=4.0)
+        intrin = {"height": 10, "width": 12, "focal_x": 20.0, "focal_y": 20.0,
+                  "center_x": 6.0, "center_y": 5.0}
+        pose = np.eye(4)[:3]
+        latents = np.zeros((1, 4), np.float32)
+        assert len(jax.devices()) == 8
+        rgbs_mesh, disps_mesh = render_path(
+            params, TINY, rs, [pose], [intrin], latents, chunk=16,
+            verbose=False)
+
+        single = make_ray_renderer(TINY, rs.test_mode(), chunk=16, jit=False)
+
+        def single_renderer(p, ro, rd, lat, key=None):
+            return single(p, ro, rd, lat, key)
+
+        rgbs_s, disps_s = render_path(
+            params, TINY, rs, [pose], [intrin], latents, chunk=16,
+            renderer=single_renderer, verbose=False)
+        np.testing.assert_allclose(rgbs_mesh, rgbs_s, atol=1e-5)
+        np.testing.assert_allclose(disps_mesh, disps_s, atol=1e-4)
