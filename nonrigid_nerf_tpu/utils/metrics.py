@@ -32,8 +32,8 @@ def _gaussian_kernel1d(sigma: float, truncate: float = 3.5) -> np.ndarray:
 
 
 def _gaussian_filter2d(img: np.ndarray, sigma: float) -> np.ndarray:
-    """Separable gaussian blur with reflect padding (scipy/skimage
-    'nearest'... skimage uses 'nearest' mode; replicate-edge padding)."""
+    """Separable gaussian blur with replicate-edge padding (numpy 'edge' ==
+    scipy.ndimage's 'nearest', the mode skimage's SSIM uses)."""
     k = _gaussian_kernel1d(sigma)
     r = (len(k) - 1) // 2
     padded = np.pad(img, ((r, r), (0, 0)), mode="edge")
@@ -75,9 +75,12 @@ def ssim(groundtruth: np.ndarray, generated: np.ndarray,
         cov = mu_xy - mu_x * mu_y
         s = ((2 * mu_x * mu_y + C1) * (2 * cov + C2)) / (
             (mu_x ** 2 + mu_y ** 2 + C1) * (var_x + var_y + C2))
-        # skimage crops the filter radius border from the mean
+        # skimage crops the filter radius border from the mean; on images
+        # smaller than the 11x11 window (skimage refuses those outright)
+        # shrink the crop so the mean stays defined instead of going NaN
         r = int(3.5 * sigma + 0.5)
-        vals.append(s[r:-r, r:-r].mean())
+        r = min(r, (s.shape[0] - 1) // 2, (s.shape[1] - 1) // 2)
+        vals.append(s[r:s.shape[0] - r, r:s.shape[1] - r].mean())
         maps.append(s)
     mean_val = float(np.mean(vals))
     if full:

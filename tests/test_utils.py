@@ -38,6 +38,50 @@ class TestMetrics:
         assert smap.shape == (24, 30, 3)
         assert np.isfinite(val)
 
+    def test_ssim_finite_on_images_smaller_than_window(self):
+        """Images smaller than the 11x11 gaussian window (e.g. tiny test
+        scenes) must yield a defined value, not a NaN from an empty crop."""
+        rng = np.random.RandomState(4)
+        a, b = rng.rand(10, 12, 3), rng.rand(10, 12, 3)
+        assert np.isfinite(ssim(a, b))
+        assert ssim(a, a) == pytest.approx(1.0, abs=1e-7)
+
+    def test_ssim_matches_naive_direct_computation(self):
+        """Golden check that always runs (skimage is absent in this image):
+        an obviously-correct direct per-pixel window implementation of the
+        same protocol (gaussian weights sigma=1.5, truncate=3.5, replicate
+        padding, no sample covariance, border crop) must agree exactly."""
+        sigma, truncate = 1.5, 3.5
+        r = int(truncate * sigma + 0.5)
+        k1 = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
+        k1 /= k1.sum()
+        win = np.outer(k1, k1)                        # 11x11 gaussian
+        C1, C2 = 0.01 ** 2, 0.03 ** 2
+
+        rng = np.random.RandomState(5)
+        H, W = 18, 16
+        x = rng.rand(H, W)
+        y = np.clip(x + 0.1 * rng.randn(H, W), 0, 1)
+
+        xp = np.pad(x, r, mode="edge")
+        yp = np.pad(y, r, mode="edge")
+        vals = np.empty((H, W))
+        for i in range(H):
+            for j in range(W):
+                wx = xp[i:i + 2 * r + 1, j:j + 2 * r + 1]
+                wy = yp[i:i + 2 * r + 1, j:j + 2 * r + 1]
+                mx, my = (win * wx).sum(), (win * wy).sum()
+                vx = (win * wx * wx).sum() - mx ** 2
+                vy = (win * wy * wy).sum() - my ** 2
+                cxy = (win * wx * wy).sum() - mx * my
+                vals[i, j] = ((2 * mx * my + C1) * (2 * cxy + C2)) / (
+                    (mx ** 2 + my ** 2 + C1) * (vx + vy + C2))
+        expected_mean = vals[r:-r, r:-r].mean()
+
+        got_mean, got_map = ssim(x, y, full=True)
+        np.testing.assert_allclose(got_map[..., 0], vals, atol=1e-10)
+        np.testing.assert_allclose(got_mean, expected_mean, atol=1e-10)
+
     @pytest.mark.skipif(
         not pytest.importorskip("importlib.util").find_spec("skimage"),
         reason="skimage not installed")
