@@ -183,10 +183,25 @@ def free_viewpoint_rendering(fvr_args):
 
     # render all frames with the device-side surface extraction
     rgbs, disps, corr_rgbs, rigidities = [], [], [], []
-    min_pt = np.asarray(ckpt_extras.get("scripts_dict", {}).get(
-        "min_nerf_volume_point", [-1.0, -1.0, -1.0])).reshape(1, 1, 3)
-    max_pt = np.asarray(ckpt_extras.get("scripts_dict", {}).get(
-        "max_nerf_volume_point", [1.0, 1.0, 1.0])).reshape(1, 1, 3)
+    scripts = ckpt_extras.get("scripts_dict", {})
+    if ("min_nerf_volume_point" in scripts
+            and "max_nerf_volume_point" in scripts):
+        min_pt = np.asarray(scripts["min_nerf_volume_point"])
+        max_pt = np.asarray(scripts["max_nerf_volume_point"])
+    else:
+        # checkpoint predates the extent probe: recompute it like the
+        # reference (free_viewpoint_rendering.py:171) so correspondence
+        # colors stay meaningful instead of silently assuming [-1,1]^3
+        print("volume extent missing from checkpoint; recomputing",
+              flush=True)
+        from nonrigid_nerf_tpu.utils.volume import \
+            determine_nerf_volume_extent
+        probe_intrinsics = [intrinsics[extras["imageid_to_viewid"][i]]
+                            for i in range(poses.shape[0])]
+        min_pt, max_pt = determine_nerf_volume_extent(
+            params, cfg, rs, poses[:, :3, :4], probe_intrinsics)
+    min_pt = min_pt.reshape(1, 1, 3)
+    max_pt = max_pt.reshape(1, 1, 3)
 
     renderer_cache = {}
     for f in range(num_frames):
@@ -220,6 +235,28 @@ def free_viewpoint_rendering(fvr_args):
         if "surface_rigidity" in out:
             rigidities.append(
                 np.asarray(out["surface_rigidity"]).reshape(H, W))
+
+        # ray-bending line meshes: render a small random pixel subset with
+        # full per-sample detail and write bent/not_bent/deltas OBJs
+        # (reference closure: free_viewpoint_rendering.py:385,
+        # run_nerf_helpers.py:794-915)
+        if fvr_args.export_ray_bending_objs and cfg.use_ray_bending:
+            from nonrigid_nerf_tpu.engine.render import make_ray_renderer
+            from nonrigid_nerf_tpu.utils.viz import export_ray_bending_objs
+            n_obj_rays = min(100, H * W)
+            if "obj" not in renderer_cache:
+                renderer_cache["obj"] = make_ray_renderer(
+                    cfg, rs, edit=edit, chunk=n_obj_rays, detailed=True)
+            idx = np.random.RandomState(0).choice(H * W, size=n_obj_rays,
+                                                  replace=False)
+            out_obj = renderer_cache["obj"](
+                params, rays_o.reshape(-1, 3)[idx], rays_d.reshape(-1, 3)[idx],
+                lat[idx], None)
+            export_ray_bending_objs(
+                np.asarray(out_obj["initial_input_pts"]),
+                np.asarray(out_obj["input_pts"]),
+                os.path.join(output_folder, f"ray_bending_{f:06d}"),
+                subsample=n_obj_rays)
         print(f"rendered frame {f + 1}/{num_frames}", flush=True)
 
     rgbs = np.stack(rgbs)
@@ -348,6 +385,10 @@ def build_parser():
     parser.add_argument("--motion_factor", type=float, default=None)
     parser.add_argument("--foreground_removal", type=float, default=None)
     parser.add_argument("--render_canonical", action="store_true")
+    parser.add_argument("--export_ray_bending_objs", action="store_true",
+                        help="per frame, write bent/not_bent/deltas OBJ line "
+                             "meshes of 100 random rays (reference: "
+                             "visualize_ray_bending)")
     parser.add_argument("--output_video_fps", type=int, default=5)
     parser.add_argument("--num_target_frames", type=int, default=120,
                         help="frame count for time_interpolation paths")

@@ -210,6 +210,39 @@ class TestFVRCLI:
         assert out.endswith("_canonical")
         assert os.path.exists(os.path.join(out, "rgb_000000.png"))
 
+    def test_export_ray_bending_objs(self, experiment):
+        out = self._run(experiment,
+                        ["--deformations", "all", "--camera_path", "fixed",
+                         "--export_ray_bending_objs"])
+        for suffix in ("_bent.obj", "_not_bent.obj", "_deltas.obj"):
+            path = os.path.join(out, "ray_bending_000000" + suffix)
+            assert os.path.exists(path), path
+            assert os.path.getsize(path) > 0
+
+    def test_volume_extent_recomputed_when_missing(self, experiment,
+                                                   tmp_path, capsys):
+        """Checkpoints without the volume extent must trigger a recompute
+        (reference: free_viewpoint_rendering.py:171), not a silent [-1,1]^3
+        default."""
+        from nonrigid_nerf_tpu.checkpoints import (load_checkpoint,
+                                                   save_checkpoint)
+        _, args, folder = experiment
+        stripped = tmp_path / "stripped_exp"
+        shutil.copytree(folder, stripped)
+        ckpt = os.path.join(stripped, "logs", "latest.npz")
+        step, params, opt_state, extras = load_checkpoint(ckpt)
+        extras["scripts_dict"].pop("min_nerf_volume_point")
+        extras["scripts_dict"].pop("max_nerf_volume_point")
+        save_checkpoint(ckpt, step, params, opt_state, extras)
+
+        fvr_args = fvr_cli.build_parser().parse_args(
+            ["--input", str(stripped), "--deformations", "all",
+             "--camera_path", "fixed"])
+        out = fvr_cli.free_viewpoint_rendering(fvr_args)
+        captured = capsys.readouterr().out
+        assert "recomputing" in captured
+        assert os.path.exists(os.path.join(out, "correspondences_000000.png"))
+
     def test_time_interpolation(self, experiment):
         out = self._run(experiment,
                         ["--deformations", "all",
