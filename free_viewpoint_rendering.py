@@ -358,9 +358,10 @@ def free_viewpoint_rendering(fvr_args):
                                             for s in scores.values()])),
         }
         if lpips_missing:
-            print("LPIPS implementation not found; lpips scores are the "
-                  "constant 1.0 placeholder (install `lpips` for real "
-                  "values)")
+            print("LPIPS weights not found; lpips scores are the constant "
+                  "1.0 placeholder. Generate data/lpips_alex.npz once with "
+                  "tools/convert_lpips_weights.py (or pip install lpips) "
+                  "for real values.")
         print(averaged, flush=True)
         scores.update(averaged)
         with open(os.path.join(output_folder, "scores.json"), "w") as f:

@@ -93,10 +93,18 @@ _lpips_model = None
 
 def lpips_distance(groundtruth: np.ndarray,
                    generated: np.ndarray) -> Optional[float]:
-    """LPIPS (AlexNet) if an lpips package is importable, else None.
+    """LPIPS (AlexNet), or None when no implementation is available.
 
-    Mirrors the reference's optional PerceptualSimilarity dependency
+    Prefers the native JAX pipeline (utils/lpips_jax.py, needs the
+    `data/lpips_alex.npz` weight file — see tools/convert_lpips_weights.py),
+    falls back to the torch `lpips` package if importable. Mirrors the
+    reference's optional PerceptualSimilarity dependency
     (reference: free_viewpoint_rendering.py:790-797,846-855)."""
+    from nonrigid_nerf_tpu.utils.lpips_jax import lpips_alex
+    native = lpips_alex(groundtruth, generated)
+    if native is not None:
+        return native
+
     global _lpips_model
     try:
         import lpips
