@@ -32,7 +32,8 @@ from nonrigid_nerf_tpu.ops.math import mse2psnr
 
 def train_step(state: TrainState, ds: RayDataset, key, *,
                cfg: ModelConfig, tc: TrainConfig, rs: RenderSettings,
-               optimizer, has_test_split: bool, n_rand: int):
+               optimizer, has_test_split: bool, n_rand: int,
+               debug_metrics: bool = False):
     """One optimization step. Returns (new_state, metrics)."""
     k_batch, k_render, k_loss = jax.random.split(
         jax.random.fold_in(key, state.step), 3)
@@ -82,20 +83,27 @@ def train_step(state: TrainState, ds: RayDataset, key, *,
     for name in ("img_loss", "img_loss0", "offsets_loss", "divergence_loss"):
         if name in aux:
             metrics[name] = masked_mean(aux[name])
+    if debug_metrics:
+        # per-iteration gradient audit (reference --debug analog: the
+        # gradient-norm print, train.py:1617-1629)
+        import optax
+        metrics["grad_norm"] = optax.global_norm(grads)
     return new_state, metrics
 
 
 def make_train_step(cfg: ModelConfig, tc: TrainConfig, rs: RenderSettings,
                     has_test_split: bool, n_rand: Optional[int] = None,
-                    donate: bool = True):
+                    donate: bool = True, debug_metrics: bool = False):
     """Build the jitted single-device train step.
 
     Returns fn(state, ds, key) -> (state, metrics). The state buffers are
     donated: parameters and optimizer state update in place in HBM.
+    `debug_metrics` adds a per-step global gradient norm to the metrics.
     """
     optimizer = make_optimizer(tc)
     step_fn = functools.partial(
         train_step, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
         has_test_split=has_test_split,
-        n_rand=n_rand if n_rand is not None else tc.N_rand)
+        n_rand=n_rand if n_rand is not None else tc.N_rand,
+        debug_metrics=debug_metrics)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

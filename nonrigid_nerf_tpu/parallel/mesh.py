@@ -44,7 +44,8 @@ def make_parallel_train_step(cfg: ModelConfig, tc: TrainConfig,
                              rs: RenderSettings, mesh: Mesh,
                              has_test_split: bool,
                              n_rand: Optional[int] = None,
-                             donate: bool = True):
+                             donate: bool = True,
+                             debug_metrics: bool = False):
     """Build the multi-device train step.
 
     The GLOBAL batch is `n_rand` rays (defaults to tc.N_rand), split evenly
@@ -110,6 +111,9 @@ def make_parallel_train_step(cfg: ModelConfig, tc: TrainConfig,
                      "divergence_loss"):
             if name in aux:
                 metrics[name] = masked_mean(aux[name])
+        if debug_metrics:
+            import optax
+            metrics["grad_norm"] = optax.global_norm(grads)  # post-psum
         return new_state, metrics
 
     sharded = jax.shard_map(

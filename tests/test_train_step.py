@@ -76,6 +76,21 @@ class TestTrainStep:
             new_state, _ = step_fn(new_state, ds, jax.random.PRNGKey(2))
         assert float(jnp.abs(new_state.params["latents"]).max()) > 0.0
 
+    def test_debug_metrics_grad_norm(self, tmp_path):
+        """--debug adds a per-step global gradient-norm audit (reference
+        analog: train.py:1617-1629)."""
+        ds = build_tiny_dataset(tmp_path)
+        tc = TrainConfig(N_rand=32, offsets_loss_weight=60.0, N_iters=100)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0)
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc,
+                                   ds.num_timesteps)
+        step_fn = make_train_step(TINY, tc, rs, has_test_split=False,
+                                  donate=False, debug_metrics=True)
+        _, metrics = step_fn(state, ds, jax.random.PRNGKey(1))
+        assert "grad_norm" in metrics
+        assert np.isfinite(float(metrics["grad_norm"]))
+        assert float(metrics["grad_norm"]) > 0
+
     def test_loss_decreases_e2e(self, tmp_path):
         """The ONE-model milestone: a few hundred steps on a synthetic scene
         must reduce reconstruction loss (SURVEY.md §7 step 3)."""

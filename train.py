@@ -217,10 +217,12 @@ def main_function(args: Args) -> None:
     has_test_split = len(i_test) > 0
     if n_devices > 1:
         mesh = make_mesh()
-        step_fn = make_parallel_train_step(cfg, tc, rs, mesh, has_test_split)
+        step_fn = make_parallel_train_step(cfg, tc, rs, mesh, has_test_split,
+                                           debug_metrics=args.debug)
         print(f"data-parallel training over {n_devices} devices")
     else:
-        step_fn = make_train_step(cfg, tc, rs, has_test_split)
+        step_fn = make_train_step(cfg, tc, rs, has_test_split,
+                                  debug_metrics=args.debug)
 
     def checkpoint_extras():
         return {
@@ -266,6 +268,8 @@ def main_function(args: Args) -> None:
                 parts.append(f"offsets: {m['offsets_loss']:.6f}")
             if "divergence_loss" in m:
                 parts.append(f"div: {m['divergence_loss']:.6f}")
+            if "grad_norm" in m:
+                parts.append(f"|grad|: {m['grad_norm']:.5f}")
             parts.append(f"({args.i_print / dt:.1f} it/s)")
             print(" ".join(parts), flush=True)
             if metrics_path:
