@@ -83,7 +83,7 @@ def _fused_query_points(params, cfg: ModelConfig, pts, latents,
     VMEM-resident weights and an in-VMEM recompute backward.
     """
     from nonrigid_nerf_tpu.ops.pallas.fused_query import (
-        N_BEND_W, pack_fused_weights, _mlp_core)
+        MLP_FWD_BLOCK, N_BEND_W, pack_fused_weights, _mlp_core)
     R, S = pts.shape[:-1]
     latents_per_pt = jnp.broadcast_to(latents[..., None, :],
                                       (R, S, latents.shape[-1]))
@@ -91,7 +91,7 @@ def _fused_query_points(params, cfg: ModelConfig, pts, latents,
                                      compute_dtype=jnp.dtype(cfg.compute_dtype))
     emb = fourier_embed(bent, cfg.multires)              # (R, S, 63) f32
     n = R * S
-    block = 1024
+    block = MLP_FWD_BLOCK
     n_pad = -(-n // block) * block
     emb_flat = jnp.zeros((n_pad, 64), jnp.float32)
     emb_flat = emb_flat.at[:n, :63].set(emb.reshape(n, 63))

@@ -153,6 +153,24 @@ def _mm(a, b):
                    preferred_element_type=jnp.float32)
 
 
+def _cast_matmul_weights(ws, f32_only=()):
+    """Pre-cast matmul weights to bf16 ONCE in XLA, outside the kernel.
+
+    Inside the kernel every grid step would otherwise re-cast (and re-tile)
+    ~2 MB of f32 weights on the VPU — measured as a large fraction of the
+    forward's runtime. Biases (row-dim 1, added into f32 accumulators) and
+    explicitly-f32 entries (the encoding projection P / phase, which feed a
+    HIGHEST-precision dot) keep f32. Numerics are unchanged: the kernel cast
+    the same arrays to bf16 anyway."""
+    out = []
+    for i, w in enumerate(ws):
+        if i in f32_only or w.shape[0] == 1:
+            out.append(w)
+        else:
+            out.append(w.astype(jnp.bfloat16))
+    return tuple(out)
+
+
 def _embed(bent, P, phase):
     pre = jnp.dot(bent, P, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
@@ -220,7 +238,11 @@ def _io_spec(block, cols):
                         memory_space=pltpu.VMEM)
 
 
+_P_PHASE_IDX = (16,)   # the f32 encoding projection in the full weight tuple
+
+
 def _fwd_pallas(pts_pad, lat, weights, block: int):
+    weights = _cast_matmul_weights(weights, f32_only=_P_PHASE_IDX)
     n = pts_pad.shape[0]
     grid = n // block
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
@@ -409,12 +431,13 @@ def _fused_core_bwd(block, residuals, cotangents):
     block = min(block, BWD_BLOCK)
     grid = n // block
 
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
-    # constant index map => the dw blocks stay resident in VMEM across the
-    # grid and serve as accumulators
+    # dw outputs keep the f32 shapes/dtypes of the original weights; only
+    # the kernel's matmul copies are bf16
     dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM) for w in weights]
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+    weights = _cast_matmul_weights(weights, f32_only=_P_PHASE_IDX)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
 
     out = pl.pallas_call(
         _bwd_kernel,
@@ -571,6 +594,7 @@ def _bend_bwd_kernel(pts_ref, lat_ref, *rest):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _bend_core(pts_pad, lat, bw, block):
     n = pts_pad.shape[0]
+    bw = _cast_matmul_weights(bw, f32_only=_P_PHASE_IDX)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in bw]
     return pl.pallas_call(
         _bend_fwd_kernel,
@@ -592,10 +616,11 @@ def _bend_core_bwd(block, residuals, cots):
     pts_pad, lat, bw = residuals
     demb, doff, drig = cots
     n = pts_pad.shape[0]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in bw]
     dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM) for w in bw]
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in bw]
+    bw = _cast_matmul_weights(bw, f32_only=_P_PHASE_IDX)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in bw]
     out = pl.pallas_call(
         _bend_bwd_kernel,
         grid=(n // block,),
@@ -719,30 +744,52 @@ def _mlp_bwd_kernel(emb_ref, *rest):
             dw[:] = dw[:] + g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _mlp_core(emb, mw, block):
-    n = emb.shape[0]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mw]
+MLP_FWD_BLOCK = 4096   # forward working set is small (bf16 acts); large
+                       # blocks amortize per-grid-step overhead (8192
+                       # exceeds the 16 MB VMEM budget)
+MLP_BWD_BLOCK = 2048   # bf16 weight copies + bf16 recomputed acts leave
+                       # room for 2048-pt backward blocks (~15 MB live);
+                       # measured 6.3 ms vs 6.6 ms at 512 for 196k pts
+
+
+def _mlp_pallas_fwd(embb, mwb, block):
+    n = embb.shape[0]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mwb]
     return pl.pallas_call(
         _mlp_fwd_kernel,
         grid=(n // block,),
         in_specs=[_io_spec(block, EMB)] + w_specs,
         out_specs=_io_spec(block, OUT_PAD),
         out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
-    )(emb, *mw)
+    )(embb, *mwb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mlp_core(emb, mw, block):
+    """MLP-only kernel over emb (n, EMB) f32 or bf16. The bf16 cast of the
+    embedding (which the kernel math performs regardless) happens in XLA so
+    the HBM hop between the bend stage and this kernel is half-width."""
+    return _mlp_pallas_fwd(emb.astype(jnp.bfloat16),
+                           _cast_matmul_weights(mw), block)
 
 
 def _mlp_core_fwd(emb, mw, block):
-    return _mlp_core(emb, mw, block), (emb, mw)
+    embb = emb.astype(jnp.bfloat16)
+    out = _mlp_pallas_fwd(embb, _cast_matmul_weights(mw), block)
+    # residuals hold the bf16 embedding (what the kernel consumes anyway)
+    # and the f32 master weights (dw dtypes derive from them)
+    return out, (embb, mw)
 
 
 def _mlp_core_bwd(block, residuals, draw):
-    emb, mw = residuals
-    n = emb.shape[0]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mw]
+    embb, mw = residuals
+    n = embb.shape[0]
+    block = min(block, MLP_BWD_BLOCK)
     dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM) for w in mw]
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in mw]
+    mwb = _cast_matmul_weights(mw)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mwb]
     out = pl.pallas_call(
         _mlp_bwd_kernel,
         grid=(n // block,),
@@ -751,8 +798,9 @@ def _mlp_core_bwd(block, residuals, draw):
         out_shape=[jax.ShapeDtypeStruct((n, EMB), jnp.float32)] + dw_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024),
-    )(emb, *mw, draw)
-    return out[0], tuple(out[1:])
+    )(embb, *mwb, draw)
+    demb = out[0].astype(jnp.float32)
+    return demb, tuple(out[1:])
 
 
 _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
