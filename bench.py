@@ -57,29 +57,35 @@ def main():
                      N_iters=200000)
     rs = RenderSettings(near=ds.near, far=ds.far, raw_noise_std=1.0)
 
-    state = create_train_state(jax.random.PRNGKey(0), cfg, tc,
-                               ds.num_timesteps)
-    step_fn = make_train_step(cfg, tc, rs, has_test_split=False)
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup. NOTE: on the tunneled TPU platform block_until_ready
-    # can return before remote execution completes; fetching the scalar value
-    # is the only reliable synchronization, so all timing fences below are
-    # float(...) fetches.
-    state, metrics = step_fn(state, ds, key)
-    float(metrics["loss"])
-    for _ in range(10):
+    def measure_train(cfg, n_steps=600):
+        """Train-step throughput. NOTE: on the tunneled TPU platform
+        block_until_ready can return before remote execution completes;
+        fetching a scalar is the only reliable synchronization, so all
+        timing fences are float(...) fetches."""
+        state = create_train_state(jax.random.PRNGKey(0), cfg, tc,
+                                   ds.num_timesteps)
+        step_fn = make_train_step(cfg, tc, rs, has_test_split=False)
         state, metrics = step_fn(state, ds, key)
-    float(metrics["loss"])
+        float(metrics["loss"])
+        for _ in range(10):
+            state, metrics = step_fn(state, ds, key)
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = step_fn(state, ds, key)
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        return tc.N_rand * n_steps / dt, n_steps / dt, state, metrics
 
-    n_steps = 600
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step_fn(state, ds, key)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    rays_per_sec = tc.N_rand * n_steps / dt
+    # headline: the DEFAULT config (reference-parity f32 bend/encoding
+    # stage + the Pallas MLP kernel)
+    rays_per_sec, steps_per_sec, state, metrics = measure_train(cfg)
+    # secondary: the documented bf16 activation mode (compute_dtype knob)
+    import dataclasses
+    rays_per_sec_bf16, _, _, _ = measure_train(
+        dataclasses.replace(cfg, compute_dtype="bfloat16"), n_steps=300)
 
     # secondary metric: inference throughput (full-image rendering path)
     from nonrigid_nerf_tpu.engine.render import make_ray_renderer
@@ -110,12 +116,13 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / V100_BASELINE_RAYS_PER_SEC, 2),
-        "steps_per_sec": round(n_steps / dt, 2),
+        "steps_per_sec": round(steps_per_sec, 2),
         "config": "example_sequence defaults (N_rand=1024, 64+64 samples, "
-                  "full NR-NeRF losses)",
+                  "full NR-NeRF losses, f32 bend stage + Pallas MLP kernel)",
         "device": str(jax.devices()[0]),
         "final_psnr_sample": round(float(metrics["psnr"]), 2),
         "render_rays_per_sec": round(render_rays_per_sec, 1),
+        "train_rays_per_sec_bf16": round(rays_per_sec_bf16, 1),
     }
     print(json.dumps(result))
 
