@@ -6,7 +6,8 @@ CLI mirrors the reference (reference: free_viewpoint_rendering.py:880-941):
 
   python free_viewpoint_rendering.py --input <experiment folder>
       --deformations {train,test,all}
-      --camera_path {input_reconstruction,fixed,spiral} [--fixed_view N]
+      --camera_path {input_reconstruction,fixed,spiral,adaptive_spiral,
+                     time_interpolation} [--fixed_view N]
       [--forced_background_stabilization T] [--motion_factor F]
       [--foreground_removal T] [--render_canonical] [--output_video_fps N]
 
@@ -160,6 +161,15 @@ def free_viewpoint_rendering(fvr_args):
         reps = -(-num_frames // max(len(render_poses), 1))
         path_poses = np.concatenate([np.asarray(render_poses)] * reps,
                                     0)[:num_frames]
+        path_intrinsics = [intrinsics[extras["imageid_to_viewid"][0]]
+                           ] * num_frames
+    elif fvr_args.camera_path == "adaptive_spiral":
+        # spiral fitted to the trained scene (camera spread + scene bounds)
+        # instead of the dataset's precomputed render_poses — the adaptive
+        # path the reference leaves to the user (reference README.md:259-261)
+        from nonrigid_nerf_tpu.data import adaptive_spiral_poses
+        path_poses = adaptive_spiral_poses(poses[:, :3, :4], ds.near, ds.far,
+                                           n_views=num_frames)
         path_intrinsics = [intrinsics[extras["imageid_to_viewid"][0]]
                            ] * num_frames
     elif fvr_args.camera_path == "time_interpolation":
@@ -379,7 +389,7 @@ def build_parser():
                         choices=["train", "test", "all"])
     parser.add_argument("--camera_path", type=str, required=True,
                         choices=["input_reconstruction", "fixed", "spiral",
-                                 "time_interpolation"])
+                                 "adaptive_spiral", "time_interpolation"])
     parser.add_argument("--fixed_view", type=int, default=0)
     parser.add_argument("--forced_background_stabilization", type=float,
                         default=None)

@@ -121,6 +121,49 @@ def _spiral_render_poses(poses: np.ndarray, bds: np.ndarray,
     return np.stack(render_poses, 0).astype(np.float32)
 
 
+def adaptive_spiral_poses(poses: np.ndarray, near: float, far: float,
+                          n_views: int = 120, n_rots: int = 2) -> np.ndarray:
+    """Spiral render path derived from the *trained* scene: orbit the average
+    input camera with radii fitted to the capture's camera spread and focus
+    depth from the scene bounds. This is the adaptive spiral the reference
+    leaves to the user (reference README.md:259-261); unlike
+    `_spiral_render_poses` it does not assume recentered poses.
+
+    poses: (N, 3, 4+) camera-to-world. Returns (n_views, 3, 4)."""
+    poses = np.asarray(poses)[:, :3, :4]
+
+    def viewmatrix(z, up, pos):
+        vec2 = z / np.linalg.norm(z)
+        vec0 = np.cross(up, vec2)
+        vec0 = vec0 / np.linalg.norm(vec0)
+        vec1 = np.cross(vec2, vec0)
+        return np.stack([vec0, vec1, vec2, pos], 1)
+
+    center = poses[:, :3, 3].mean(0)
+    c2w = viewmatrix(poses[:, :3, 2].sum(0), poses[:, :3, 1].sum(0), center)
+    up = poses[:, :3, 1].sum(0)
+
+    # spiral radii from the camera spread, expressed in the average frame;
+    # keep a minimum so a perfectly-static capture still orbits
+    rel = (poses[:, :3, 3] - center) @ c2w[:3, :3]
+    rads = np.percentile(np.abs(rel), 90, axis=0)
+    floor = 0.05 * max(float(far - near), 1e-6)
+    rads = np.maximum(rads, floor)
+
+    close_depth, inf_depth = max(float(near), 1e-3), float(far) * 5.0
+    dt = 0.75
+    focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
+
+    out = []
+    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_views + 1)[:-1]:
+        offset = np.array([np.cos(theta), -np.sin(theta),
+                           -np.sin(theta * 0.5)]) * rads
+        c = center + c2w[:3, :3] @ offset
+        z = c - (center + c2w[:3, :3] @ np.array([0.0, 0.0, -focal]))
+        out.append(viewmatrix(z, up, c))
+    return np.stack(out, 0).astype(np.float32)
+
+
 def _load_poses_bounds(datadir: str, images: np.ndarray, factor: int):
     """Standard LLFF `poses_bounds.npy`: (N, 17) = 3x5 pose + 2 bounds.
 

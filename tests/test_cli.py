@@ -109,6 +109,42 @@ class TestTrainCLI:
         assert "Reloading from" in out
 
 
+class TestValidationImages:
+    def test_i_img_renders_validation_views(self, tmp_path):
+        """i_img > 0 periodically renders one held-out (or first train) view
+        with PSNR logging — the live replacement for the reference's dead
+        TF-summary i_img flag (reference: train.py:1910-1950)."""
+        import json as _json
+        datadir = tmp_path / "data"
+        datadir.mkdir()
+        write_synthetic_sequence(str(datadir), n=4, H=10, W=12)
+        args = train_cli.parse_args([
+            "--datadir", str(datadir), "--rootdir", str(tmp_path / "exp"),
+            "--expname", "val", "--ray_bending", "simple_neural",
+            "--netdepth", "2", "--netwidth", "32", "--netdepth_fine", "2",
+            "--netwidth_fine", "32", "--multires", "4", "--N_samples", "4",
+            "--N_importance", "4", "--N_rand", "16", "--N_iters", "4",
+            "--i_print", "4", "--i_weights", "99", "--i_video", "999",
+            "--i_testset", "999", "--factor", "1", "--seed", "0",
+            "--chunk", "64", "--i_img", "2",
+            "--train_block_size", "2", "--test_block_size", "1"])
+        folder = os.path.join(args.rootdir, args.expname)
+        train_cli.create_folder(folder)
+        train_cli.main_function(args)
+        logdir = os.path.join(folder, "logs")
+        for step in (2, 4):
+            assert os.path.exists(
+                os.path.join(logdir, "val_images", f"{step:06d}.png"))
+        val_lines = [
+            _json.loads(line)
+            for line in open(os.path.join(logdir, "metrics.jsonl"))
+            if "val_psnr" in line]
+        assert len(val_lines) == 2
+        assert all(np.isfinite(v["val_psnr"]) for v in val_lines)
+        # with a test split present the held-out view is validated
+        assert val_lines[0]["val_view"] == 2
+
+
 class TestConfigKnobs:
     def test_tpu_knobs_roundtrip_through_args_txt(self, tmp_path):
         """compute_dtype / fused_kernel / bending + rigidity arch knobs must
@@ -209,6 +245,14 @@ class TestFVRCLI:
                          "--render_canonical"])
         assert out.endswith("_canonical")
         assert os.path.exists(os.path.join(out, "rgb_000000.png"))
+
+    def test_adaptive_spiral_path(self, experiment):
+        out = self._run(experiment,
+                        ["--deformations", "all",
+                         "--camera_path", "adaptive_spiral"])
+        files = [f for f in os.listdir(out) if f.startswith("rgb_")]
+        assert len(files) == 4
+        assert os.path.exists(os.path.join(out, "video_rgb.mp4"))
 
     def test_export_ray_bending_objs(self, experiment):
         out = self._run(experiment,

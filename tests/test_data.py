@@ -70,6 +70,37 @@ class TestLoadLLFF:
         assert images.shape == (n, H // 2, W // 2, 3)
 
 
+class TestAdaptiveSpiral:
+    def test_geometry(self):
+        from nonrigid_nerf_tpu.data import adaptive_spiral_poses
+        rng = np.random.RandomState(0)
+        # cameras scattered around (0, 0, 4) looking down -z
+        poses = np.tile(np.eye(4)[:3][None], (12, 1, 1)).astype(np.float32)
+        poses[:, :3, 3] = rng.randn(12, 3) * 0.3 + np.array([0, 0, 4.0])
+        out = adaptive_spiral_poses(poses, near=2.0, far=6.0, n_views=30)
+        assert out.shape == (30, 3, 4)
+        assert np.isfinite(out).all()
+        # rotation columns stay orthonormal
+        R = out[:, :3, :3]
+        eye = np.einsum("nij,nkj->nik", R, R)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (30, 1, 1)),
+                                   atol=1e-5)
+        # every spiral camera keeps looking toward the scene (camera -z in
+        # world space has negative world-z, like the inputs)
+        assert (out[:, 2, 2] > 0).all()
+        # path orbits: positions vary around the mean input camera
+        spread = out[:, :3, 3].std(axis=0)
+        assert spread.max() > 0.05
+
+    def test_static_capture_still_orbits(self):
+        from nonrigid_nerf_tpu.data import adaptive_spiral_poses
+        poses = np.tile(np.eye(4)[:3][None], (5, 1, 1)).astype(np.float32)
+        poses[:, 2, 3] = 4.0   # all cameras identical
+        out = adaptive_spiral_poses(poses, near=2.0, far=6.0, n_views=16)
+        assert np.isfinite(out).all()
+        assert out[:, :3, 3].std(axis=0).max() > 1e-3
+
+
 class TestMappings:
     def test_monocular_identity(self):
         extras = get_multi_view_mappings(5, "/nonexistent")

@@ -154,7 +154,8 @@ def main_function(args: Args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from nonrigid_nerf_tpu.apps.render_path import render_path
+    from nonrigid_nerf_tpu.apps.render_path import (downscale_intrinsics,
+                                                    render_path)
     from nonrigid_nerf_tpu.checkpoints import (latest_checkpoint,
                                                load_checkpoint,
                                                restore_opt_state,
@@ -163,6 +164,7 @@ def main_function(args: Args) -> None:
                                                       create_train_state)
     from nonrigid_nerf_tpu.engine.train_step import make_train_step
     from nonrigid_nerf_tpu.ops.math import to8b
+    from nonrigid_nerf_tpu.ops.rays import get_rays
     from nonrigid_nerf_tpu.parallel import (make_mesh,
                                             make_parallel_train_step)
     from nonrigid_nerf_tpu.utils.viz import disparity_to_jet
@@ -234,6 +236,23 @@ def main_function(args: Args) -> None:
                 if isinstance(v, (list, bool, int, float, str))},
         }
 
+    # periodic validation-image rendering (the reference parses i_img but its
+    # TF-summary consumer is dead code, train.py:1910-1950; here it renders
+    # one held-out — or first training — view every i_img steps)
+    val_renderer = None
+    val_view = None
+    if args.i_img and args.i_img > 0:
+        from nonrigid_nerf_tpu.parallel import make_auto_renderer
+        val_id = int(i_test[0]) if len(i_test) > 0 else int(i_train[0])
+        val_intrin = downscale_intrinsics(
+            [intrinsics[extras["imageid_to_viewid"][val_id]]],
+            args.render_factor)[0]
+        vh, vw = int(val_intrin["height"]), int(val_intrin["width"])
+        val_renderer = make_auto_renderer(
+            cfg, rs.test_mode(), chunk=args.chunk, n_rays_hint=vh * vw)
+        val_view = (val_id, val_intrin)
+        create_folder(os.path.join(logdir, "val_images"))
+
     key = jax.random.PRNGKey(tc.seed + 1)
     print(f"Begin training at step {start} -> {args.N_iters}", flush=True)
 
@@ -278,6 +297,37 @@ def main_function(args: Args) -> None:
                     mf.write(_json.dumps(
                         {"step": i, "it_per_sec": args.i_print / dt,
                          **{k: round(v, 8) for k, v in m.items()}}) + "\n")
+
+        if val_renderer is not None and i % args.i_img == 0:
+            val_id, intrin = val_view
+            vh, vw = int(intrin["height"]), int(intrin["width"])
+            rays_o, rays_d = get_rays(
+                jnp.asarray(poses[val_id][:3, :4], jnp.float32), intrin)
+            lat = jnp.broadcast_to(
+                state.params["latents"][
+                    extras["imageid_to_timestepid"][val_id]].reshape(1, -1),
+                (vh * vw, state.params["latents"].shape[-1]))
+            out = val_renderer(state.params, rays_o.reshape(-1, 3),
+                               rays_d.reshape(-1, 3), lat)
+            rgb = np.asarray(out["rgb_map"]).reshape(vh, vw, 3)
+            gt = images[val_id]
+            if args.render_factor:
+                gt = gt[::args.render_factor, ::args.render_factor][:vh, :vw]
+            val_psnr = float(-10.0 * np.log10(np.mean((gt - rgb) ** 2)))
+            try:
+                import imageio.v2 as imageio
+                imageio.imwrite(os.path.join(
+                    logdir, "val_images", f"{i:06d}.png"), to8b(rgb))
+            except Exception as e:
+                print("val image write failed:", e)
+            print(f"[VAL] Iter: {i} view {val_id} PSNR: {val_psnr:.2f}",
+                  flush=True)
+            if metrics_path:
+                import json as _json
+                with open(metrics_path, "a") as mf:
+                    mf.write(_json.dumps(
+                        {"step": i, "val_view": val_id,
+                         "val_psnr": round(val_psnr, 4)}) + "\n")
 
         if i % args.i_weights == 0:
             if i % 50000 == 0:
