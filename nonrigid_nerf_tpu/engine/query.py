@@ -72,41 +72,98 @@ def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fused_query_points(params, cfg: ModelConfig, pts, latents,
-                        network: str, detailed: bool):
-    """query_points via the Pallas MLP kernel (ops/pallas/fused_query).
+def bend_encode_stage(params, cfg: ModelConfig, pts, latents,
+                      edit: EditConfig = EditConfig(),
+                      detailed: bool = False, fused: bool = False):
+    """Stage 1 of the point query: deformation field + positional encoding.
 
-    Hybrid layout, chosen by measurement: the bend/rigidity/encoding stage
-    runs in XLA (small-lane ops cost full 128-lane vectors inside Mosaic,
-    making a hand kernel SLOWER there), while the canonical 8x256 MLP — the
-    FLOP and activation-traffic bulk — runs as the Pallas kernel with
-    VMEM-resident weights and an in-VMEM recompute backward.
+    This stage is NETWORK-INDEPENDENT — coarse and fine canonical MLPs
+    consume the same bent/encoded points — so the renderer evaluates it once
+    per sample point and reuses the coarse-sample results in the fine pass
+    (the reference re-bends + re-encodes the coarse z_vals a second time,
+    train.py:910-941, purely for implementation simplicity).
+
+    pts (R, S, 3); latents (R, L) per ray. Returns a dict with:
+      embedded       (R, S, input_ch), bf16 when fused (the Pallas MLP
+                     kernel consumes bf16; the cast fuses into the encoding)
+      bent_pts       (R, S, 3)
+      rigidity       (R, S, 1) or None
+      latents_per_pt (R, S, L) or None
+      details        regularizer/visualization internals dict, or None
     """
-    from nonrigid_nerf_tpu.ops.pallas.fused_query import (
-        MLP_FWD_BLOCK, N_BEND_W, pack_fused_weights, _mlp_core)
     R, S = pts.shape[:-1]
-    latents_per_pt = jnp.broadcast_to(latents[..., None, :],
-                                      (R, S, latents.shape[-1]))
-    bent, bend_details = bend_points(params["bender"], pts, latents_per_pt,
-                                     compute_dtype=jnp.dtype(cfg.compute_dtype))
-    emb = fourier_embed(bent, cfg.multires)              # (R, S, 63) f32
-    n = R * S
-    block = MLP_FWD_BLOCK
-    n_pad = -(-n // block) * block
-    emb_flat = jnp.zeros((n_pad, 64), jnp.float32)
-    emb_flat = emb_flat.at[:n, :63].set(emb.reshape(n, 63))
-    mw = pack_fused_weights(params, cfg.multires, network)[N_BEND_W:]
-    raw = _mlp_core(emb_flat, mw, block)[:n, :4].reshape(R, S, 4)
-    if not detailed:
-        return raw
-    details = {
-        "initial_input_pts": jax.lax.stop_gradient(pts),
-        "unmasked_offsets": bend_details["unmasked_offsets"],
-        "rigidity_mask": bend_details["rigidity_mask"],
-        "masked_offsets": bend_details["masked_offsets"],
-        "input_pts": jax.lax.stop_gradient(bent),
-    }
-    return raw, details
+    bender = params.get("bender") if cfg.use_ray_bending else None
+    details = {"initial_input_pts": jax.lax.stop_gradient(pts)} if detailed \
+        else None
+
+    latents_per_pt = None
+    if cfg.use_ray_bending or cfg.time_conditioned_baseline:
+        latents_per_pt = jnp.broadcast_to(
+            latents[..., None, :], (R, S, latents.shape[-1]))
+
+    rigidity = None
+    if bender is not None and not edit.render_canonical:
+        bent_pts, bend_details = bend_points(
+            bender, pts, latents_per_pt,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
+            test_time_scaling=edit.test_time_scaling,
+            activation=cfg.bending_activation)
+        rigidity = bend_details.get("rigidity_mask")
+        if detailed:
+            details.update(bend_details)
+            details["input_pts"] = jax.lax.stop_gradient(bent_pts)
+    else:
+        bent_pts = pts
+        if detailed:
+            details["input_pts"] = jax.lax.stop_gradient(pts)
+
+    embedded = _embed_pts(cfg, bent_pts)
+    if fused:
+        embedded = embedded.astype(jnp.bfloat16)
+    return {"embedded": embedded, "bent_pts": bent_pts, "rigidity": rigidity,
+            "latents_per_pt": latents_per_pt, "details": details}
+
+
+def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
+                        embedded_views=None, edit: EditConfig = EditConfig(),
+                        fused: bool = False):
+    """Stage 2 of the point query: the per-network canonical MLP (+ the
+    test-time foreground-removal edit, reference run_nerf_helpers.py:309-311).
+
+    fused=True runs the 8x256 MLP as the Pallas kernel (ops/pallas/
+    fused_query) with VMEM-resident weights and an in-VMEM recompute
+    backward — the FLOP and activation-traffic bulk of the model. The
+    bend/encode stage stays in XLA either way: a hand kernel measures
+    SLOWER there (small-lane ops cost full 128-lane vregs in Mosaic and
+    the stage is transcendental/IO-bound, not matmul-bound).
+    """
+    embedded = stage1["embedded"]
+    if fused:
+        from nonrigid_nerf_tpu.ops.pallas.fused_query import (
+            MLP_FWD_BLOCK, N_BEND_W, pack_fused_weights, _mlp_core)
+        R, S = embedded.shape[:2]
+        n = R * S
+        block = MLP_FWD_BLOCK
+        n_pad = -(-n // block) * block
+        emb_flat = jnp.pad(embedded.reshape(n, 63), ((0, n_pad - n), (0, 1)))
+        mw = pack_fused_weights(params, cfg.multires, network)[N_BEND_W:]
+        raw = _mlp_core(emb_flat, mw, block)[:n, :4].reshape(R, S, 4)
+    else:
+        raw = nerf_mlp_apply(params[network], cfg, embedded, embedded_views,
+                             stage1["latents_per_pt"])
+
+    rigidity = stage1["rigidity"]
+    if edit.nonrigid_object_removal_threshold is not None \
+            and rigidity is not None:
+        removal = rigidity[..., 0] >= edit.nonrigid_object_removal_threshold
+        raw = raw.at[..., 3].set(jnp.where(removal, 0.0, raw[..., 3]))
+    return raw
+
+
+def use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
+    """Public alias of the fused-path predicate for the renderer."""
+    return _use_fused_kernel(cfg, edit)
 
 
 def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
@@ -127,47 +184,15 @@ def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
 
     Returns raw (R, S, 4), or (raw, details) when detailed.
     """
-    if _use_fused_kernel(cfg, edit):
-        return _fused_query_points(params, cfg, pts, latents, network,
-                                   detailed)
-
-    nerf_params = params[network]
-    bender = params.get("bender") if cfg.use_ray_bending else None
-    R, S = pts.shape[:-1]
-
-    details = {"initial_input_pts": jax.lax.stop_gradient(pts)} if detailed \
-        else None
-
-    latents_per_pt = None
-    if cfg.use_ray_bending or cfg.time_conditioned_baseline:
-        latents_per_pt = jnp.broadcast_to(
-            latents[..., None, :], (R, S, latents.shape[-1]))
-
-    if bender is not None and not edit.render_canonical:
-        bent_pts, bend_details = bend_points(
-            bender, pts, latents_per_pt,
-            compute_dtype=jnp.dtype(cfg.compute_dtype),
-            rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
-            test_time_scaling=edit.test_time_scaling,
-            activation=cfg.bending_activation)
-        if detailed:
-            details.update(
-                {k: v for k, v in bend_details.items()})
-            details["input_pts"] = jax.lax.stop_gradient(bent_pts)
-        rigidity = bend_details.get("rigidity_mask")
-    else:
-        bent_pts = pts
-        rigidity = None
-        if detailed:
-            details["input_pts"] = jax.lax.stop_gradient(pts)
-
-    embedded = _embed_pts(cfg, bent_pts)
+    fused = _use_fused_kernel(cfg, edit)
+    st = bend_encode_stage(params, cfg, pts, latents, edit, detailed, fused)
 
     embedded_views = None
     if cfg.use_viewdirs:
+        bender = params.get("bender") if cfg.use_ray_bending else None
         if bender is not None and not edit.render_canonical:
             if cfg.approx_nonrigid_viewdirs:
-                dirs = _finite_difference_viewdirs(bent_pts)
+                dirs = _finite_difference_viewdirs(st["bent_pts"])
             else:
                 # exact: directional derivative of the bending map along the
                 # unbent ray direction, J_bend(x) @ d, in ONE forward-mode
@@ -177,7 +202,7 @@ def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
 
                 def _bend(p):
                     return bend_points(
-                        bender, p, latents_per_pt,
+                        bender, p, st["latents_per_pt"],
                         compute_dtype=jnp.dtype(cfg.compute_dtype),
                         rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
                         test_time_scaling=edit.test_time_scaling,
@@ -190,15 +215,8 @@ def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
             dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
         embedded_views = _embed_views(cfg, dirs)
 
-    raw = nerf_mlp_apply(nerf_params, cfg, embedded, embedded_views,
-                         latents_per_pt)
-
-    # test-time foreground removal: make nonrigid content invisible
-    # (reference: run_nerf_helpers.py:309-311)
-    if edit.nonrigid_object_removal_threshold is not None and rigidity is not None:
-        removal = rigidity[..., 0] >= edit.nonrigid_object_removal_threshold
-        raw = raw.at[..., 3].set(jnp.where(removal, 0.0, raw[..., 3]))
-
+    raw = canonical_mlp_stage(params, cfg, network, st, embedded_views,
+                              edit, fused)
     if detailed:
-        return raw, details
+        return raw, st["details"]
     return raw

@@ -44,8 +44,12 @@ def train_step(state: TrainState, ds: RayDataset, key, *,
 
     def losses_fn(params):
         latents = params["latents"][batch["timestep_ids"]]
+        # the losses consume only COARSE-pass internals (reference
+        # train.py:219-286): fine_detailed=False keeps the unused fine
+        # detail channels out of the compositing sort entirely
         out = render_rays(params, cfg, rs, batch["rays_o"], batch["rays_d"],
-                          latents, key=k_render, detailed=needs_detail)
+                          latents, key=k_render, detailed=needs_detail,
+                          fine_detailed=False)
         losses, aux = per_ray_losses(k_loss, params, cfg, tc, out,
                                      batch["target_rgb"], latents, state.step)
         return losses, aux

@@ -49,7 +49,11 @@ N_importance = 4
 N_rand = 16
 chunk = 64
 raw_noise_std = 1e0
+seed = 0
 """
+# seed pinned: the default seed=-1 draws a random seed (reference parity,
+# train.py:1052), which made this 8-step fixture nondeterministic — one
+# observed flake produced a non-finite average_psnr in scores.json
 
 
 @pytest.fixture(scope="module")

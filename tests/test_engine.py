@@ -127,6 +127,66 @@ class TestRenderRays:
         # same weights, different viewdir estimates -> close but not equal
         assert not np.array_equal(outs[True], outs[False])
 
+    def test_stage1_reuse_matches_full_fine_requery(self):
+        """render_rays reuses the coarse samples' bend/encode results in the
+        fine pass. Values AND gradients must match the reference behavior
+        (re-querying the full sorted z union) to f32 exactness."""
+        cfg = SMALL
+        params = make_params(cfg, randomize_bender=True)
+        ro, rd, lat = make_ray_batch(8)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=1.0, far=4.0,
+                            raw_noise_std=0.3)
+        key = jax.random.PRNGKey(3)
+
+        def losses(params):
+            out = render_rays(params, cfg, rs, ro, rd, lat, key=key,
+                              detailed=True)
+            return (jnp.sum(out["rgb_map"] ** 2)
+                    + jnp.sum(out["rgb0"] ** 2)
+                    + jnp.sum(out["fine_unmasked_offsets"] ** 2)
+                    + jnp.sum(out["fine_rigidity_mask"]))
+
+        val_new, g_new = jax.value_and_grad(losses)(params)
+
+        # reference computation: replicate the old fine pass explicitly
+        from nonrigid_nerf_tpu.ops.compositing import raw2outputs
+        from nonrigid_nerf_tpu.ops.sampling import (sample_pdf,
+                                                    stratified_z_vals)
+
+        def losses_ref(params):
+            k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
+            z_vals = stratified_z_vals(k_strat, rs.near, rs.far, 8,
+                                       rs.N_samples, perturb=rs.perturb)
+            pts = ro[:, None, :] + rd[:, None, :] * z_vals[..., None]
+            raw, det = query_points(params, cfg, pts, None, lat,
+                                    detailed=True)
+            coarse = raw2outputs(raw, z_vals, rd, rs.raw_noise_std,
+                                 noise_key=k_noise0)
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sample_pdf(k_pdf, z_mid,
+                                   coarse.visibility_weights[..., 1:-1],
+                                   rs.N_importance, det=(rs.perturb == 0.0))
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+            pts_fine = ro[:, None, :] + rd[:, None, :] * z_all[..., None]
+            raw_f, det_f = query_points(params, cfg, pts_fine, None, lat,
+                                        network="fine", detailed=True)
+            fine = raw2outputs(raw_f, z_all, rd, rs.raw_noise_std,
+                               noise_key=k_noise1)
+            return (jnp.sum(fine.rgb_map ** 2)
+                    + jnp.sum(coarse.rgb_map ** 2)
+                    + jnp.sum(det_f["unmasked_offsets"] ** 2)
+                    + jnp.sum(det_f["rigidity_mask"]))
+
+        val_ref, g_ref = jax.value_and_grad(losses_ref)(params)
+        np.testing.assert_allclose(float(val_new), float(val_ref),
+                                   rtol=1e-6)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g_ref)[0],
+                jax.tree_util.tree_flatten_with_path(g_new)[0]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
+                err_msg=jax.tree_util.keystr(path))
+
     def test_chunked_renderer_matches_single_block(self):
         params = make_params(SMALL)
         ro, rd, lat = make_ray_batch(n=37)
