@@ -141,14 +141,24 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
     embedded = stage1["embedded"]
     if fused:
         from nonrigid_nerf_tpu.ops.pallas.fused_query import (
-            MLP_FWD_BLOCK, N_BEND_W, pack_fused_weights, _mlp_core)
+            MLP_FWD_BLOCK, N_BEND_W, VEMB, pack_fused_weights,
+            pack_viewdirs_mlp_weights, _mlp_core, _mlpv_core)
         R, S = embedded.shape[:2]
         n = R * S
         block = MLP_FWD_BLOCK
         n_pad = -(-n // block) * block
         emb_flat = jnp.pad(embedded.reshape(n, 63), ((0, n_pad - n), (0, 1)))
-        mw = pack_fused_weights(params, cfg.multires, network)[N_BEND_W:]
-        raw = _mlp_core(emb_flat, mw, block)[:n, :4].reshape(R, S, 4)
+        if cfg.use_viewdirs:
+            ev = embedded_views.astype(jnp.bfloat16)
+            embv_flat = jnp.pad(
+                ev.reshape(n, ev.shape[-1]),
+                ((0, n_pad - n), (0, VEMB - ev.shape[-1])))
+            mv = pack_viewdirs_mlp_weights(params, network)
+            raw = _mlpv_core(emb_flat, embv_flat, mv, block)
+        else:
+            mw = pack_fused_weights(params, cfg.multires, network)[N_BEND_W:]
+            raw = _mlp_core(emb_flat, mw, block)
+        raw = raw[:n, :4].reshape(R, S, 4)
     else:
         raw = nerf_mlp_apply(params[network], cfg, embedded, embedded_views,
                              stage1["latents_per_pt"])

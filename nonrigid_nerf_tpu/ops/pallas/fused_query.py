@@ -52,12 +52,14 @@ N_WEIGHTS = 37
 
 
 def supports_fused_query(cfg) -> bool:
-    """The kernel covers the flagship architecture: bending + rigidity on,
-    no view directions, default widths/depths, fourier encoding."""
+    """The kernels cover the flagship architecture: bending + rigidity on,
+    default widths/depths, fourier encoding. View directions are supported
+    (the MLP kernel grows the alpha/feature/views/rgb heads, _mlpv_core);
+    the direction computation itself stays in XLA."""
     return (cfg.use_ray_bending
             and cfg.use_rigidity_network
             and getattr(cfg, "bending_activation", "relu") == "relu"
-            and not cfg.use_viewdirs
+            and (not cfg.use_viewdirs or cfg.multires_views == 4)
             and not cfg.time_conditioned_baseline
             and cfg.i_embed == 0
             and cfg.multires == 10
@@ -804,6 +806,259 @@ def _mlp_core_bwd(block, residuals, draw):
 
 
 _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Viewdirs variant of the MLP kernel: the canonical 8x256 chain plus the
+# view-conditioned heads (reference: run_nerf_helpers.py:283-304 —
+# alpha = alpha_linear(h); feature = feature_linear(h) [no activation];
+# hv = relu(views_linear(cat([feature, embedded_views]))); rgb =
+# rgb_linear(hv); raw = cat([rgb, alpha])). The view-direction COMPUTATION
+# (finite differences / bending jvp) stays in XLA — only the MLP FLOPs move
+# into VMEM. Without this kernel, use_viewdirs training fell back to XLA
+# entirely (~2.5x slower than the no-viewdirs fused step, vs the
+# reference's documented 20-35% viewdirs overhead, README.md:128).
+# ---------------------------------------------------------------------------
+
+VEMB = 32            # 27 view-encoding channels (multires_views=4) padded
+VW = 128             # views head width = netwidth // 2
+N_MLPV_W = 26        # packed weight-tuple length
+
+
+def pack_viewdirs_mlp_weights(params, network: str = "coarse"):
+    """Flatten a viewdirs canonical MLP into the kernel's padded f32 weight
+    tuple (pts chain as in pack_fused_weights, then the four heads; rgb and
+    alpha both land in the OUT_PAD raw lanes: rgb -> 0:3, alpha -> 3)."""
+    pts_layers = params[network]["pts"]
+
+    def pad_w(w, rows, cols):
+        out = jnp.zeros((rows, cols), jnp.float32)
+        return out.at[:w.shape[0], :w.shape[1]].set(w)
+
+    def pad_b(b, cols):
+        out = jnp.zeros((1, cols), jnp.float32)
+        return out.at[0, :b.shape[0]].set(b)
+
+    ws = [pad_w(pts_layers[0]["w"], EMB, NW), pad_b(pts_layers[0]["b"], NW)]
+    for i in (1, 2, 3, 4):
+        ws += [pts_layers[i]["w"], pad_b(pts_layers[i]["b"], NW)]
+    w5 = pts_layers[5]["w"]
+    ws += [pad_w(w5[:63], EMB, NW), w5[63:], pad_b(pts_layers[5]["b"], NW)]
+    for i in (6, 7):
+        ws += [pts_layers[i]["w"], pad_b(pts_layers[i]["b"], NW)]
+
+    fl = params[network]["feature"]
+    al = params[network]["alpha"]
+    vl = params[network]["views"][0]
+    rl = params[network]["rgb"]
+    valpha = jnp.zeros((NW, OUT_PAD), jnp.float32).at[:, 3:4].set(al["w"])
+    balpha = jnp.zeros((1, OUT_PAD), jnp.float32).at[0, 3:4].set(al["b"])
+    vrgb = jnp.zeros((VW, OUT_PAD), jnp.float32).at[:, :3].set(rl["w"])
+    brgb = jnp.zeros((1, OUT_PAD), jnp.float32).at[0, :3].set(rl["b"])
+    ws += [
+        fl["w"], pad_b(fl["b"], NW),                    # 17,18 feature
+        valpha, balpha,                                 # 19,20 alpha -> lane 3
+        vl["w"][:NW],                                   # 21 views (feature part)
+        pad_w(vl["w"][NW:], VEMB, VW),                  # 22 views (dirs part)
+        pad_b(vl["b"], VW),                             # 23
+        vrgb, brgb,                                     # 24,25 rgb -> lanes 0:3
+    ]
+    assert len(ws) == N_MLPV_W
+    return tuple(ws)
+
+
+def _mlpv_fwd_math(emb, embv, w, return_acts=False):
+    (n0w, n0b, n1w, n1b, n2w, n2b, n3w, n3b, n4w, n4b,
+     n5e, n5h, n5b, n6w, n6b, n7w, n7b,
+     fw, fb, aw, ab, vwf, vwv, vb, rw, rb) = w
+    bf16 = jnp.bfloat16
+    embb = emb.astype(bf16)
+    embvb = embv.astype(bf16)
+    nh1 = jax.nn.relu(_mm(embb, n0w) + n0b).astype(bf16)
+    nh2 = jax.nn.relu(_mm(nh1, n1w) + n1b).astype(bf16)
+    nh3 = jax.nn.relu(_mm(nh2, n2w) + n2b).astype(bf16)
+    nh4 = jax.nn.relu(_mm(nh3, n3w) + n3b).astype(bf16)
+    nh5 = jax.nn.relu(_mm(nh4, n4w) + n4b).astype(bf16)
+    nh6 = jax.nn.relu(_mm(nh5, n5h) + _mm(embb, n5e) + n5b).astype(bf16)
+    nh7 = jax.nn.relu(_mm(nh6, n6w) + n6b).astype(bf16)
+    nh8 = jax.nn.relu(_mm(nh7, n7w) + n7b).astype(bf16)
+    feat = (_mm(nh8, fw) + fb).astype(bf16)            # NO activation
+    hv = jax.nn.relu(_mm(feat, vwf) + _mm(embvb, vwv) + vb).astype(bf16)
+    raw = _mm(hv, rw) + rb + _mm(nh8, aw) + ab         # rgb lanes 0:3, alpha 3
+    if not return_acts:
+        return raw
+    return raw, dict(embb=embb, embvb=embvb, nh1=nh1, nh2=nh2, nh3=nh3,
+                     nh4=nh4, nh5=nh5, nh6=nh6, nh7=nh7, nh8=nh8,
+                     feat=feat, hv=hv)
+
+
+def _mlpv_fwd_kernel(emb_ref, embv_ref, *rest):
+    w = [r[:] for r in rest[:N_MLPV_W]]
+    rest[N_MLPV_W][:] = _mlpv_fwd_math(emb_ref[:], embv_ref[:], w)
+
+
+def _mlpv_bwd_kernel(emb_ref, embv_ref, *rest):
+    w = [r[:] for r in rest[:N_MLPV_W]]
+    draw_ref = rest[N_MLPV_W]
+    demb_ref = rest[N_MLPV_W + 1]
+    dembv_ref = rest[N_MLPV_W + 2]
+    dw_refs = rest[N_MLPV_W + 3:]
+    (n0w, n0b, n1w, n1b, n2w, n2b, n3w, n3b, n4w, n4b,
+     n5e, n5h, n5b, n6w, n6b, n7w, n7b,
+     fw, fb, aw, ab, vwf, vwv, vb, rw, rb) = w
+    bf16 = jnp.bfloat16
+    _, a = _mlpv_fwd_math(emb_ref[:], embv_ref[:], w, return_acts=True)
+
+    def mmT_nt(x, wt):
+        return jax.lax.dot_general(
+            x.astype(bf16), wt.astype(bf16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mmT_tn(act, g):
+        return jax.lax.dot_general(
+            act.astype(bf16), g.astype(bf16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def bsum(g):
+        return jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    draw = draw_ref[:]
+    drawb = draw.astype(bf16)
+
+    # rgb head
+    g_rw = mmT_tn(a["hv"], drawb)
+    g_rb = bsum(draw)
+    dhv = (mmT_nt(drawb, rw)
+           * (a["hv"].astype(jnp.float32) > 0)).astype(bf16)
+    # views layer
+    g_vwf = mmT_tn(a["feat"], dhv)
+    g_vwv = mmT_tn(a["embvb"], dhv)
+    g_vb = bsum(dhv)
+    dfeat = mmT_nt(dhv, vwf).astype(bf16)
+    dembv_ref[:] = mmT_nt(dhv, vwv)
+    # feature head (linear, no activation mask)
+    g_fw = mmT_tn(a["nh8"], dfeat)
+    g_fb = bsum(dfeat)
+    # alpha head
+    g_aw = mmT_tn(a["nh8"], drawb)
+    g_ab = bsum(draw)
+    dh8 = ((mmT_nt(dfeat, fw) + mmT_nt(drawb, aw))
+           * (a["nh8"].astype(jnp.float32) > 0)).astype(bf16)
+
+    g_n7w = mmT_tn(a["nh7"], dh8)
+    g_n7b = bsum(dh8)
+    dh7 = (mmT_nt(dh8, n7w)
+           * (a["nh7"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n6w = mmT_tn(a["nh6"], dh7)
+    g_n6b = bsum(dh7)
+    dh6 = (mmT_nt(dh7, n6w)
+           * (a["nh6"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n5h = mmT_tn(a["nh5"], dh6)
+    g_n5e = mmT_tn(a["embb"], dh6)
+    g_n5b = bsum(dh6)
+    demb = mmT_nt(dh6, n5e)
+    dh5 = (mmT_nt(dh6, n5h)
+           * (a["nh5"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n4w = mmT_tn(a["nh4"], dh5)
+    g_n4b = bsum(dh5)
+    dh4 = (mmT_nt(dh5, n4w)
+           * (a["nh4"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n3w = mmT_tn(a["nh3"], dh4)
+    g_n3b = bsum(dh4)
+    dh3 = (mmT_nt(dh4, n3w)
+           * (a["nh3"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n2w = mmT_tn(a["nh2"], dh3)
+    g_n2b = bsum(dh3)
+    dh2 = (mmT_nt(dh3, n2w)
+           * (a["nh2"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n1w = mmT_tn(a["nh1"], dh2)
+    g_n1b = bsum(dh2)
+    dh1 = (mmT_nt(dh2, n1w)
+           * (a["nh1"].astype(jnp.float32) > 0)).astype(bf16)
+    g_n0w = mmT_tn(a["embb"], dh1)
+    g_n0b = bsum(dh1)
+    demb_ref[:] = demb + mmT_nt(dh1, n0w)
+
+    grads = [g_n0w, g_n0b, g_n1w, g_n1b, g_n2w, g_n2b, g_n3w, g_n3b,
+             g_n4w, g_n4b, g_n5e, g_n5h, g_n5b, g_n6w, g_n6b, g_n7w, g_n7b,
+             g_fw, g_fb, g_aw, g_ab, g_vwf, g_vwv, g_vb, g_rw, g_rb]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for dw, g in zip(dw_refs, grads):
+            dw[:] = g
+
+    @pl.when(i > 0)
+    def _accum():
+        for dw, g in zip(dw_refs, grads):
+            dw[:] = dw[:] + g
+
+
+def _mlpv_pallas_fwd(embb, embvb, mwb, block):
+    n = embb.shape[0]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mwb]
+    return pl.pallas_call(
+        _mlpv_fwd_kernel,
+        grid=(n // block,),
+        in_specs=[_io_spec(block, EMB), _io_spec(block, VEMB)] + w_specs,
+        out_specs=_io_spec(block, OUT_PAD),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+    )(embb, embvb, *mwb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mlpv_core(emb, embv, mw, block):
+    """Viewdirs MLP kernel over emb (n, EMB) and embv (n, VEMB). Returns
+    raw (n, OUT_PAD) with rgb in lanes 0:3, alpha in lane 3."""
+    return _mlpv_pallas_fwd(emb.astype(jnp.bfloat16),
+                            embv.astype(jnp.bfloat16),
+                            _cast_matmul_weights(mw), block)
+
+
+def _mlpv_core_fwd(emb, embv, mw, block):
+    embb = emb.astype(jnp.bfloat16)
+    embvb = embv.astype(jnp.bfloat16)
+    out = _mlpv_pallas_fwd(embb, embvb, _cast_matmul_weights(mw), block)
+    return out, (embb, embvb, mw)
+
+
+MLPV_BWD_BLOCK = 1024   # the viewdirs backward additionally holds feat/hv
+                        # acts + 9 extra weight-grad accumulators; 2048-pt
+                        # blocks exceed the 24 MB VMEM budget (26.9 MB)
+
+
+def _mlpv_core_bwd(block, residuals, draw):
+    embb, embvb, mw = residuals
+    n = embb.shape[0]
+    block = min(block, MLPV_BWD_BLOCK)
+    dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for w in mw]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in mw]
+    mwb = _cast_matmul_weights(mw)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mwb]
+    out = pl.pallas_call(
+        _mlpv_bwd_kernel,
+        grid=(n // block,),
+        in_specs=([_io_spec(block, EMB), _io_spec(block, VEMB)] + w_specs
+                  + [_io_spec(block, OUT_PAD)]),
+        out_specs=[_io_spec(block, EMB), _io_spec(block, VEMB)] + dw_specs,
+        out_shape=([jax.ShapeDtypeStruct((n, EMB), jnp.float32),
+                    jax.ShapeDtypeStruct((n, VEMB), jnp.float32)]
+                   + dw_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+    )(embb, embvb, *mwb, draw)
+    return out[0].astype(jnp.float32), out[1].astype(jnp.float32), \
+        tuple(out[2:])
+
+
+_mlpv_core.defvjp(_mlpv_core_fwd, _mlpv_core_bwd)
+
 
 
 def fused_point_query_split(params, pts, latents, multires: int = 10,

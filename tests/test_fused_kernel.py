@@ -207,6 +207,123 @@ class TestIntegration:
         assert supports_fused_query(cfg_coarse_only)
 
 
+class TestViewdirsKernel:
+    """The viewdirs MLP kernel (_mlpv_core) vs nerf_mlp_apply."""
+
+    def _setup(self, seed=20):
+        import dataclasses
+        cfg = dataclasses.replace(CFG, use_viewdirs=True)
+        ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+        params = {"coarse": init_nerf_params(ks[0], cfg),
+                  "bender": init_bending_params(ks[1], cfg)}
+        rng = np.random.RandomState(seed)
+        n = 700
+        emb = jnp.asarray(rng.randn(n, 63).astype(np.float32))
+        dirs = rng.randn(n, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        embv = fourier_embed(jnp.asarray(dirs), 4)     # (n, 27)
+        return cfg, params, emb, embv
+
+    def _kernel(self, params, emb, embv, block=256):
+        n = emb.shape[0]
+        n_pad = -(-n // block) * block
+        emb_flat = jnp.pad(emb, ((0, n_pad - n), (0, 1)))
+        embv_flat = jnp.pad(embv, ((0, n_pad - n), (0, fq.VEMB - 27)))
+        mv = fq.pack_viewdirs_mlp_weights(params)
+        return fq._mlpv_core(emb_flat, embv_flat, mv, block)[:n, :4]
+
+    def test_forward_matches_xla(self):
+        cfg, params, emb, embv = self._setup()
+        raw_ref = nerf_mlp_apply(params["coarse"], cfg, emb, embv)
+        raw = self._kernel(params, emb, embv)
+        np.testing.assert_allclose(np.asarray(raw), np.asarray(raw_ref),
+                                   atol=3e-2)
+
+    def test_grads_match_xla(self):
+        cfg, params, emb, embv = self._setup(21)
+
+        def loss_x(p, emb, embv):
+            return jnp.sum(nerf_mlp_apply(p["coarse"], cfg, emb, embv) ** 2)
+
+        def loss_k(p, emb, embv):
+            return jnp.sum(self._kernel(p, emb, embv) ** 2)
+
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(params, emb, embv)
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(params, emb, embv)
+
+        # Norm-level agreement: the kernel's bf16 matmul roundings compound
+        # over the 10-layer cotangent chain, so per-ELEMENT deviations reach
+        # ~10-20% vs the CPU f32 reference (on TPU the XLA path itself runs
+        # bf16 MXU passes, so a user sees far less). What training needs is
+        # direction+magnitude agreement of the PARAMETER gradients —
+        # measured 0.26% / cos 0.999997. (The handwritten VJP is separately
+        # exact against autodiff of the kernel's own math.)
+        def stats(a, b):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+            return np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-30), cos
+
+        for a, b, name, tol in ((gx[1], gk[1], "demb", 0.15),
+                                (gx[2], gk[2], "dembv", 0.10)):
+            normrel, cos = stats(a, b)
+            assert normrel < tol and cos > 0.99, (name, normrel, cos)
+        flat_x = np.concatenate([np.asarray(x).ravel() for x in
+                                 jax.tree_util.tree_leaves(gx[0])])
+        flat_k = np.concatenate([np.asarray(x).ravel() for x in
+                                 jax.tree_util.tree_leaves(gk[0])])
+        normrel, cos = stats(flat_x, flat_k)
+        assert normrel < 0.02 and cos > 0.9999, (normrel, cos)
+
+    def test_vjp_exact_vs_autodiff_of_same_math(self):
+        """The handwritten viewdirs backward must equal jax.grad of the
+        kernel's own forward expression (same bf16 roundings)."""
+        cfg, params, _, _ = self._setup(23)
+        rng = np.random.RandomState(23)
+        n = 512
+        emb = jnp.asarray(rng.randn(n, 64).astype(np.float32)).at[:, 63].set(0.0)
+        embv = jnp.asarray(
+            np.pad(rng.randn(n, 27), ((0, 0), (0, 5))).astype(np.float32))
+        mv = fq.pack_viewdirs_mlp_weights(params)
+
+        gm = jax.grad(lambda e, v, w: jnp.sum(
+            fq._mlpv_fwd_math(e, v, list(w)) ** 2),
+            argnums=(0, 1, 2))(emb, embv, mv)
+        gp = jax.grad(lambda e, v, w: jnp.sum(
+            fq._mlpv_core(e, v, w, 256) ** 2),
+            argnums=(0, 1, 2))(emb, embv, mv)
+        np.testing.assert_allclose(gp[0], gm[0], atol=2e-5)
+        np.testing.assert_allclose(gp[1], gm[1], atol=5e-4)
+        for i, (a, b) in enumerate(zip(gm[2], gp[2])):
+            tol = max(5e-4, 1e-2 * float(jnp.abs(a).max()))
+            np.testing.assert_allclose(b, a, atol=tol,
+                                       err_msg=f"weight grad {i}")
+
+    @pytest.mark.parametrize("approx", [True, False])
+    def test_query_points_viewdirs_fused_matches_xla(self, approx):
+        """End-to-end: fused query with viewdirs (both FD and exact modes)
+        vs the XLA path, including through the bending field."""
+        from nonrigid_nerf_tpu.engine.query import query_points
+        import dataclasses
+        cfg_base = dataclasses.replace(CFG, use_viewdirs=True,
+                                       approx_nonrigid_viewdirs=approx)
+        params = make_params(7)
+        ks = jax.random.split(jax.random.PRNGKey(8), 2)
+        params["coarse"] = init_nerf_params(ks[0], cfg_base)
+        rng = np.random.RandomState(22)
+        pts = jnp.asarray(rng.randn(4, 16, 3).astype(np.float32))
+        vd = rng.randn(4, 3).astype(np.float32)
+        vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+        vd = jnp.asarray(vd)
+        lat = jnp.asarray(0.05 * rng.randn(4, 32).astype(np.float32))
+        cfg_on = dataclasses.replace(cfg_base, fused_kernel="on")
+        cfg_off = dataclasses.replace(cfg_base, fused_kernel="off")
+        raw_p = query_points(params, cfg_on, pts, vd, lat)
+        raw_x = query_points(params, cfg_off, pts, vd, lat)
+        np.testing.assert_allclose(np.asarray(raw_p), np.asarray(raw_x),
+                                   atol=3e-2)
+
+
 class TestSplitKernel:
     def test_split_matches_monolith_exactly(self):
         params = make_params()
