@@ -255,8 +255,9 @@ def make_ray_renderer(cfg: ModelConfig, rs: RenderSettings,
     Returns fn(params, rays_o (N,3), rays_d (N,3), latents (N,L), key) -> dict.
     """
     # inference is forward-only, where XLA's pipelined MLP chain measures
-    # ~1.5x FASTER than the fused kernel (which earns its keep on the
-    # backward pass); leave the kernel to explicit opt-in here
+    # slightly faster than the fused kernel (424k vs 408k rays/s on v5e —
+    # the kernel earns its keep on the backward pass); leave the kernel to
+    # explicit opt-in here
     if cfg.fused_kernel == "auto":
         import dataclasses
         cfg = dataclasses.replace(cfg, fused_kernel="off")
