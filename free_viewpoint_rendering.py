@@ -110,6 +110,8 @@ def free_viewpoint_rendering(fvr_args):
         output_name += "_removal_" + str(fvr_args.foreground_removal)
     if fvr_args.render_canonical:
         output_name += "_canonical"
+    if fvr_args.quantize_inference:
+        output_name += "_int8"
     output_folder = os.path.join(fvr_args.input, "output", output_name)
     create_folder(output_folder)
 
@@ -129,6 +131,34 @@ def free_viewpoint_rendering(fvr_args):
     frame_latents = np.stack(
         [latents[extras["imageid_to_timestepid"][i]]
          for i in range(len(images))])           # (N, L)
+
+    if fvr_args.quantize_inference:
+        # post-training int8: calibrate activation scales on rays + latents
+        # spread across the sequence, then route the canonical MLP through
+        # the int8 MXU kernel (ops/pallas/quant_mlp.py)
+        import dataclasses
+        from nonrigid_nerf_tpu.ops.pallas.quant_mlp import \
+            quantize_for_inference
+        sel = np.unique(np.linspace(0, len(images) - 1, 8).astype(int))
+        cal_o, cal_d, cal_l = [], [], []
+        for i in sel:
+            intrin = intrinsics[extras["imageid_to_viewid"][i]]
+            co, cd = get_rays(
+                jnp.asarray(np.asarray(poses[i])[:3, :4], jnp.float32),
+                intrin)
+            co = np.asarray(co).reshape(-1, 3)
+            cd = np.asarray(cd).reshape(-1, 3)
+            stride = max(1, co.shape[0] // 64)
+            cal_o.append(co[::stride][:64])
+            cal_d.append(cd[::stride][:64])
+            cal_l.append(np.broadcast_to(
+                frame_latents[i],
+                (cal_o[-1].shape[0], frame_latents.shape[-1])))
+        params = quantize_for_inference(
+            params, cfg, np.concatenate(cal_o), np.concatenate(cal_d),
+            np.concatenate(cal_l), ds.near, ds.far, n_rays=512)
+        cfg = dataclasses.replace(cfg, fused_kernel="int8")
+        print(f"int8 inference: calibrated on {len(sel)} frames", flush=True)
 
     # deformation subset (reference: free_viewpoint_rendering.py:494-509)
     if fvr_args.deformations == "train":
@@ -403,6 +433,13 @@ def build_parser():
     parser.add_argument("--output_video_fps", type=int, default=5)
     parser.add_argument("--num_target_frames", type=int, default=120,
                         help="frame count for time_interpolation paths")
+    parser.add_argument("--quantize_inference", action="store_true",
+                        help="EXPERIMENTAL: render through the int8 MXU "
+                             "kernel (post-training calibration on this "
+                             "scene's rays). Quality-neutral but measured "
+                             "SLOWER than the default path on v5e "
+                             "(requantization is VPU-bound); see "
+                             "ops/pallas/quant_mlp.py")
     return parser
 
 

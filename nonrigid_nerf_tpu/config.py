@@ -74,6 +74,9 @@ class ModelConfig:
     # compute_dtype (measured PSNR parity with the f32 XLA path); the
     # bend/rigidity stage honors compute_dtype. For strict reference-parity
     # numerics set fused_kernel = "off".
+    # "int8" (inference-only) runs the canonical MLP on the MXU's int8 path
+    # with post-training-calibrated activation scales (ops/pallas/
+    # quant_mlp.py); requires params["quant"] from quantize_for_inference().
     fused_kernel: str = "auto"
 
     def __post_init__(self):

@@ -60,6 +60,13 @@ def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
     from nonrigid_nerf_tpu.ops.pallas.fused_query import supports_fused_query
     if cfg.fused_kernel == "off":
         return False
+    if cfg.fused_kernel == "int8":
+        # int8 is inference-only and covers the no-viewdirs MLP; anything
+        # outside that falls back to the XLA f32 path rather than erroring
+        # (scene edits still work: they ride the XLA bend stage / the raw
+        # post-edit, not the MLP kernel)
+        return supports_fused_query(cfg) and not cfg.use_viewdirs \
+            and not _edits_active(edit)
     if not supports_fused_query(cfg) or _edits_active(edit):
         if cfg.fused_kernel == "on":
             raise ValueError(
@@ -155,6 +162,16 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
                 ((0, n_pad - n), (0, VEMB - ev.shape[-1])))
             mv = pack_viewdirs_mlp_weights(params, network)
             raw = _mlpv_core(emb_flat, embv_flat, mv, block)
+        elif cfg.fused_kernel == "int8":
+            from nonrigid_nerf_tpu.ops.pallas.quant_mlp import (
+                mlp_i8_core, pack_int8_mlp_weights)
+            if "quant" not in params or network not in params["quant"]:
+                raise ValueError(
+                    "fused_kernel='int8' needs calibration scales in "
+                    "params['quant']; run quantize_for_inference() first")
+            qw = pack_int8_mlp_weights(params, params["quant"][network],
+                                       network, cfg.multires)
+            raw = mlp_i8_core(emb_flat, qw, block)
         else:
             mw = pack_fused_weights(params, cfg.multires, network)[N_BEND_W:]
             raw = _mlp_core(emb_flat, mw, block)

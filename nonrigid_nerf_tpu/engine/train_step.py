@@ -104,6 +104,10 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig, rs: RenderSettings,
     donated: parameters and optimizer state update in place in HBM.
     `debug_metrics` adds a per-step global gradient norm to the metrics.
     """
+    if cfg.fused_kernel == "int8":
+        raise ValueError("fused_kernel='int8' is inference-only (the int8 "
+                         "kernel has no backward); train with 'auto'/'on'/"
+                         "'off' and quantize the checkpoint afterwards")
     optimizer = make_optimizer(tc)
     step_fn = functools.partial(
         train_step, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
