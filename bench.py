@@ -86,6 +86,10 @@ def main():
     import dataclasses
     rays_per_sec_bf16, _, _, _ = measure_train(
         dataclasses.replace(cfg, compute_dtype="bfloat16"), n_steps=300)
+    # secondary: view-direction conditioning (the reference's +20-35%
+    # overhead mode, README.md:128) through the viewdirs MLP kernel
+    rays_per_sec_vd, _, _, _ = measure_train(
+        dataclasses.replace(cfg, use_viewdirs=True), n_steps=300)
 
     # secondary metric: inference throughput (full-image rendering path)
     from nonrigid_nerf_tpu.engine.render import make_ray_renderer
@@ -123,6 +127,7 @@ def main():
         "final_psnr_sample": round(float(metrics["psnr"]), 2),
         "render_rays_per_sec": round(render_rays_per_sec, 1),
         "train_rays_per_sec_bf16": round(rays_per_sec_bf16, 1),
+        "train_rays_per_sec_viewdirs": round(rays_per_sec_vd, 1),
     }
     print(json.dumps(result))
 
