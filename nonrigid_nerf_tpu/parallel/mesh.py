@@ -176,10 +176,14 @@ def make_auto_renderer(cfg: ModelConfig, rs: RenderSettings, edit=None,
     signature: fn(params, rays_o (N,3), rays_d, latents, key=None) -> dict.
 
     `n_rays_hint` (e.g. H*W) lets the multi-device path shrink its per-device
-    chunk so padding to devices*chunk wastes little work."""
+    chunk so padding to devices*chunk wastes little work.
+
+    Uses LOCAL devices: under multi-host training each process renders its
+    own artifacts independently (train.py gates them to process 0), so the
+    render mesh must not span processes. Single-process, local == all."""
     from nonrigid_nerf_tpu.config import EditConfig
     edit = edit if edit is not None else EditConfig()
-    devices = jax.devices()
+    devices = jax.local_devices()
     if len(devices) > 1:
         if n_rays_hint:
             per_dev = -(-int(n_rays_hint) // len(devices))

@@ -151,6 +151,11 @@ def load_dataset(args: Args):
 
 
 def main_function(args: Args) -> None:
+    # multi-host bring-up must precede the first jax backend use
+    from nonrigid_nerf_tpu.parallel import multihost
+    n_procs = multihost.maybe_initialize()
+    main = multihost.is_main()
+
     import jax
     import jax.numpy as jnp
 
@@ -181,10 +186,11 @@ def main_function(args: Args) -> None:
      i_train, i_test) = load_dataset(args)
 
     logdir = os.path.join(args.rootdir, args.expname, "logs")
-    create_folder(logdir)
-    args.dump(os.path.join(logdir, "args.txt"))
-    if args.config is not None and os.path.exists(args.config):
-        shutil.copyfile(args.config, os.path.join(logdir, "config.txt"))
+    if main:
+        create_folder(logdir)
+        args.dump(os.path.join(logdir, "args.txt"))
+        if args.config is not None and os.path.exists(args.config):
+            shutil.copyfile(args.config, os.path.join(logdir, "config.txt"))
 
     cfg = model_config_from_args(args)
     tc = train_config_from_args(args)
@@ -209,19 +215,24 @@ def main_function(args: Args) -> None:
                         for i in range(poses.shape[0])]
     min_point, max_point = determine_nerf_volume_extent(
         state.params, cfg, rs, poses[:, :3, :4], probe_intrinsics,
-        output_folder=logdir)
+        output_folder=logdir if main else None)
     scripts_dict = {"near": ds.near, "far": ds.far,
                     "min_nerf_volume_point": min_point.tolist(),
                     "max_nerf_volume_point": max_point.tolist(),
                     "image_folder": "images"}
 
-    n_devices = len(jax.devices())
+    n_devices = len(jax.devices())   # GLOBAL count under multi-host
     has_test_split = len(i_test) > 0
+    key = jax.random.PRNGKey(tc.seed + 1)
     if n_devices > 1:
         mesh = make_mesh()
         step_fn = make_parallel_train_step(cfg, tc, rs, mesh, has_test_split,
                                            debug_metrics=args.debug)
-        print(f"data-parallel training over {n_devices} devices")
+        if n_procs > 1:
+            # multi-controller: replicated jit inputs must be global arrays
+            state, ds, key = multihost.replicate((state, ds, key), mesh)
+        print(f"data-parallel training over {n_devices} devices"
+              + (f" on {n_procs} hosts" if n_procs > 1 else ""))
     else:
         step_fn = make_train_step(cfg, tc, rs, has_test_split,
                                   debug_metrics=args.debug)
@@ -239,9 +250,16 @@ def main_function(args: Args) -> None:
     # periodic validation-image rendering (the reference parses i_img but its
     # TF-summary consumer is dead code, train.py:1910-1950; here it renders
     # one held-out — or first training — view every i_img steps)
+    def host_params():
+        """Pull (replicated) params to host numpy for process-local
+        rendering under multi-host; pass-through otherwise."""
+        if n_procs > 1:
+            return jax.tree_util.tree_map(np.asarray, state.params)
+        return state.params
+
     val_renderer = None
     val_view = None
-    if args.i_img and args.i_img > 0:
+    if args.i_img and args.i_img > 0 and main:
         from nonrigid_nerf_tpu.parallel import make_auto_renderer
         val_id = int(i_test[0]) if len(i_test) > 0 else int(i_train[0])
         val_intrin = downscale_intrinsics(
@@ -253,11 +271,10 @@ def main_function(args: Args) -> None:
         val_view = (val_id, val_intrin)
         create_folder(os.path.join(logdir, "val_images"))
 
-    key = jax.random.PRNGKey(tc.seed + 1)
     print(f"Begin training at step {start} -> {args.N_iters}", flush=True)
 
     metrics_path = os.path.join(logdir, "metrics.jsonl") \
-        if getattr(args, "metrics_file", True) else None
+        if getattr(args, "metrics_file", True) and main else None
     profile_steps = int(getattr(args, "profile_steps", 0) or 0)
     profile_dir = os.path.join(logdir, "profile")
 
@@ -275,7 +292,7 @@ def main_function(args: Args) -> None:
             print("wrote XLA trace to", profile_dir, flush=True)
             profile_steps = 0
 
-        if i % args.i_print == 0:
+        if i % args.i_print == 0 and main:
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t0
             t0 = time.time()
@@ -303,11 +320,12 @@ def main_function(args: Args) -> None:
             vh, vw = int(intrin["height"]), int(intrin["width"])
             rays_o, rays_d = get_rays(
                 jnp.asarray(poses[val_id][:3, :4], jnp.float32), intrin)
+            vparams = host_params()
             lat = jnp.broadcast_to(
-                state.params["latents"][
+                jnp.asarray(vparams["latents"])[
                     extras["imageid_to_timestepid"][val_id]].reshape(1, -1),
                 (vh * vw, state.params["latents"].shape[-1]))
-            out = val_renderer(state.params, rays_o.reshape(-1, 3),
+            out = val_renderer(vparams, rays_o.reshape(-1, 3),
                                rays_d.reshape(-1, 3), lat)
             rgb = np.asarray(out["rgb_map"]).reshape(vh, vw, 3)
             gt = images[val_id]
@@ -329,7 +347,7 @@ def main_function(args: Args) -> None:
                         {"step": i, "val_view": val_id,
                          "val_psnr": round(val_psnr, 4)}) + "\n")
 
-        if i % args.i_weights == 0:
+        if i % args.i_weights == 0 and main:
             if i % 50000 == 0:
                 path = os.path.join(logdir, f"{i:06d}.npz")
             else:
@@ -341,9 +359,10 @@ def main_function(args: Args) -> None:
             print("Saved checkpoint at", path, flush=True)
 
         if i % args.i_video == 0 and i > 0 and len(render_poses) > 0 \
-                and len(i_test) > 0 and not extras["is_multiview"]:
+                and len(i_test) > 0 and not extras["is_multiview"] and main:
             print("rendering video...", flush=True)
-            latents_np = np.asarray(state.params["latents"])
+            video_params = host_params()
+            latents_np = np.asarray(video_params["latents"])
             if args.render_test:
                 frame_latents = np.stack(
                     [latents_np[extras["imageid_to_timestepid"][j]]
@@ -355,7 +374,7 @@ def main_function(args: Args) -> None:
                     (len(render_poses), 1))
                 video_poses = render_poses
             rgbs, disps = render_path(
-                state.params, cfg, rs, video_poses[:, :3, :4],
+                video_params, cfg, rs, video_poses[:, :3, :4],
                 [intrinsics[0]] * len(video_poses), frame_latents,
                 chunk=args.chunk, render_factor=args.render_factor)
             moviebase = os.path.join(
@@ -374,7 +393,7 @@ def main_function(args: Args) -> None:
             except Exception as e:
                 print("video write failed (ffmpeg missing?):", e)
 
-        if i % args.i_testset == 0 and i > 0:
+        if i % args.i_testset == 0 and i > 0 and main:
             trainsubsavedir = os.path.join(logdir, f"trainsubset_{i:06d}")
             create_folder(trainsubsavedir)
             i_train_sub = i_train
@@ -382,7 +401,8 @@ def main_function(args: Args) -> None:
                 stride = max(1, int(len(i_train_sub) / max(len(i_test), 1)
                                     + 0.5))
                 i_train_sub = i_train_sub[::stride]
-            latents_np = np.asarray(state.params["latents"])
+            test_params = host_params()
+            latents_np = np.asarray(test_params["latents"])
 
             def latents_for(ids):
                 return np.stack(
@@ -390,7 +410,7 @@ def main_function(args: Args) -> None:
                      for j in ids])
 
             render_path(
-                state.params, cfg, rs, poses[i_train_sub][:, :3, :4],
+                test_params, cfg, rs, poses[i_train_sub][:, :3, :4],
                 [intrinsics[extras["imageid_to_viewid"][j]]
                  for j in i_train_sub],
                 latents_for(i_train_sub), chunk=args.chunk,
@@ -402,7 +422,7 @@ def main_function(args: Args) -> None:
                 testsavedir = os.path.join(logdir, f"testset_{i:06d}")
                 create_folder(testsavedir)
                 render_path(
-                    state.params, cfg, rs, poses[i_test][:, :3, :4],
+                    test_params, cfg, rs, poses[i_test][:, :3, :4],
                     [intrinsics[extras["imageid_to_viewid"][j]]
                      for j in i_test],
                     latents_for(i_test), chunk=args.chunk,
@@ -411,7 +431,7 @@ def main_function(args: Args) -> None:
                 print("Saved test set", flush=True)
 
     # final checkpoint
-    if metrics is not None:
+    if metrics is not None and main:
         save_checkpoint(os.path.join(logdir, "latest.npz"), args.N_iters,
                         state.params, state.opt_state, checkpoint_extras())
         print(f"training done at step {int(state.step)}; final loss "
@@ -422,9 +442,15 @@ if __name__ == "__main__":
     args = parse_args()
     results_folder = os.path.join(args.rootdir, args.expname)
     print(results_folder, flush=True)
-    create_folder(results_folder)
-    if args.no_reload:
-        shutil.rmtree(results_folder)
+
+    from nonrigid_nerf_tpu.parallel import multihost
+    multihost.maybe_initialize()
+    if multihost.is_main():
         create_folder(results_folder)
-    backup(results_folder)
+        if args.no_reload:
+            shutil.rmtree(results_folder)
+            create_folder(results_folder)
+        backup(results_folder)
+    # other processes must not race past the wipe/backup
+    multihost.barrier("experiment_folder_ready")
     main_function(args)
