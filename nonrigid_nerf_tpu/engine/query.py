@@ -61,12 +61,14 @@ def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
     if cfg.fused_kernel == "off":
         return False
     if cfg.fused_kernel == "int8":
-        # int8 is inference-only and covers the no-viewdirs MLP; anything
-        # outside that falls back to the XLA f32 path rather than erroring
-        # (scene edits still work: they ride the XLA bend stage / the raw
-        # post-edit, not the MLP kernel)
-        return supports_fused_query(cfg) and not cfg.use_viewdirs \
-            and not _edits_active(edit)
+        # int8 is inference-only and covers the no-viewdirs MLP on TPU;
+        # anything outside that falls back to the XLA f32 path rather than
+        # erroring (scene edits still work: they ride the XLA bend stage /
+        # the raw post-edit, not the MLP kernel). Tests force the kernel on
+        # CPU through pallas interpret mode.
+        return (jax.default_backend() == "tpu"
+                and supports_fused_query(cfg) and not cfg.use_viewdirs
+                and not _edits_active(edit))
     if not supports_fused_query(cfg) or _edits_active(edit):
         if cfg.fused_kernel == "on":
             raise ValueError(

@@ -65,10 +65,13 @@ class TestInt8Kernel:
         assert set(p2["quant"]) == {"coarse", "fine"}
         assert params is not p2 and "quant" not in params
 
-    def test_quantize_for_inference_end_to_end_render(self):
+    def test_quantize_for_inference_end_to_end_render(self, monkeypatch):
         """make_ray_renderer with fused_kernel='int8' matches the f32
-        renderer to int8-level tolerance on random-init params."""
-        import nonrigid_nerf_tpu.engine.query  # noqa: F401 (kernel import)
+        renderer to int8-level tolerance on random-init params. The int8
+        predicate requires a TPU backend (CPU pallas is interpret-only), so
+        the backend probe is forced here; the autouse fixture already puts
+        the kernel itself in interpret mode."""
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         from nonrigid_nerf_tpu.engine.render import make_ray_renderer
 
         params = make_params(3)
@@ -89,7 +92,10 @@ class TestInt8Kernel:
 
         cfg_q = dataclasses.replace(CFG, fused_kernel="int8")
         r_q = make_ray_renderer(cfg_q, rs, chunk=64)
-        r_f = make_ray_renderer(CFG, rs, chunk=64)
+        # the forced-"tpu" backend probe would also flip "auto" on; pin the
+        # reference renderer to the XLA path
+        r_f = make_ray_renderer(dataclasses.replace(CFG, fused_kernel="off"),
+                                rs, chunk=64)
         out_q = r_q(params_q, rays_o, rays_d, lat, None)
         out_f = r_f(params, rays_o, rays_d, lat, None)
         rgb_q = np.asarray(out_q["rgb_map"])
