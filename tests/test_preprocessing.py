@@ -179,3 +179,70 @@ class TestUndistort:
             str(indir / "images" / "a.png")))
         assert (outdir / "images_mask" / "mask.png").exists()
         assert (outdir / "undistorted_calibration.txt").exists()
+
+
+class TestLensCalibration:
+    """End-to-end checkerboard calibration on SYNTHETIC distorted views with
+    known ground-truth intrinsics + distortion (the component the reference
+    leaves to real capture data, reference preprocess.py:14-128)."""
+
+    BH, BW = 6, 9            # inner corners
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]])
+    DIST = np.array([-0.25, 0.08, 0.0, 0.0, 0.0])
+    H, W = 480, 640
+
+    def _render_view(self, cv2, rvec, tvec):
+        img = np.full((self.H, self.W), 255, np.uint8)
+        for r in range(self.BH + 1):
+            for c in range(self.BW + 1):
+                if (r + c) % 2 == 0:
+                    continue
+                quad = np.array([[r, c, 0], [r + 1, c, 0],
+                                 [r + 1, c + 1, 0], [r, c + 1, 0]],
+                                np.float32)
+                pts, _ = cv2.projectPoints(quad, rvec, tvec, self.K,
+                                           self.DIST)
+                cv2.fillConvexPoly(
+                    img, np.round(pts.reshape(-1, 2)).astype(np.int32), 0)
+        return img
+
+    def test_recovers_known_distortion(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        import preprocess as pp
+
+        indir = tmp_path / "seq"
+        (indir / "images").mkdir(parents=True)
+        rng = np.random.RandomState(3)
+        center = np.array([(self.BH + 1) / 2.0, (self.BW + 1) / 2.0])
+        for i in range(10):
+            rvec = np.array([0.25 * rng.randn(), 0.25 * rng.randn(),
+                             0.15 * rng.randn()])
+            tvec = np.array([-center[1] + 0.8 * rng.randn(),
+                             -center[0] + 0.6 * rng.randn(),
+                             13.0 + 1.5 * rng.randn()])
+            img = self._render_view(cv2, rvec, tvec)
+            cv2.imwrite(str(indir / "images" / f"{i:03d}.png"), img)
+
+        outdir = tmp_path / "out"
+        outdir.mkdir()
+        args = pp.build_parser().parse_args(
+            ["--input", str(indir), "--output", str(outdir),
+             "--calibrate_lens_distortion",
+             "--checkerboard_height", str(self.BH),
+             "--checkerboard_width", str(self.BW),
+             "--visualize_detections"])
+        pp.lens_distortion_calibration(args)
+
+        with open(outdir / "lens_distortion.json") as f:
+            calib = json.load(f)
+        mtx = np.asarray(calib["mtx"])
+        dist = np.asarray(calib["dist"]).ravel()
+        # focal within 1%, principal point within ~5 px, k1/k2 recovered
+        np.testing.assert_allclose(mtx[0, 0], 600.0, rtol=0.01)
+        np.testing.assert_allclose(mtx[1, 1], 600.0, rtol=0.01)
+        assert abs(mtx[0, 2] - 320.0) < 6 and abs(mtx[1, 2] - 240.0) < 6
+        np.testing.assert_allclose(dist[0], -0.25, atol=0.01)
+        np.testing.assert_allclose(dist[1], 0.08, atol=0.02)
+        assert calib["roi"] == [0, 0, self.W, self.H]
+        # detection visualizations were written for the found boards
+        assert len(list((outdir / "detected").iterdir())) >= 5
