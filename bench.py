@@ -45,6 +45,8 @@ def build_dataset():
 
 def main():
     import jax
+    from nonrigid_nerf_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache("~/.cache/nonrigid_nerf_tpu/xla")
     from nonrigid_nerf_tpu.config import (ModelConfig, RenderSettings,
                                           TrainConfig)
     from nonrigid_nerf_tpu.engine.train_state import create_train_state

@@ -85,6 +85,9 @@ def _surface_post(out):
 def free_viewpoint_rendering(fvr_args):
     args, params, ckpt_extras = load_experiment(fvr_args.input)
 
+    from nonrigid_nerf_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(getattr(args, "compilation_cache_dir", None))
+
     import jax.numpy as jnp
 
     from nonrigid_nerf_tpu.config import (EditConfig, model_config_from_args,

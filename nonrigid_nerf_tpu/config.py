@@ -222,6 +222,9 @@ DEFAULTS = {
     # machine-readable metrics stream next to the console log
     "profile_steps": 0,
     "metrics_file": True,
+    # persistent XLA compilation cache: cuts the first-step compile from
+    # ~130s (cold) to ~12s on the TPU box; "" disables
+    "compilation_cache_dir": "~/.cache/nonrigid_nerf_tpu/xla",
 }
 
 

@@ -159,6 +159,9 @@ def main_function(args: Args) -> None:
     import jax
     import jax.numpy as jnp
 
+    from nonrigid_nerf_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(getattr(args, "compilation_cache_dir", None))
+
     from nonrigid_nerf_tpu.apps.render_path import (downscale_intrinsics,
                                                     render_path)
     from nonrigid_nerf_tpu.checkpoints import (latest_checkpoint,
