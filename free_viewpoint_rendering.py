@@ -82,6 +82,75 @@ def _surface_post(out):
     return res
 
 
+def setup(input_folder: str):
+    """Programmatic API for a trained experiment (notebook / scripting use).
+
+    The reference exposes the same capability as a tuple of closures from
+    `_setup_nonrigid_nerf_network` (reference:
+    free_viewpoint_rendering.py:392-411): weight loading, latent access,
+    dataset reload, convenient rendering with scene-edit parameters, and
+    image conversion helpers. Here it is one namespace:
+
+        fvr = setup("experiments/my_scene")
+        rgbs, disps = fvr.render(fvr.poses[:3], fvr.frame_latents[:3])
+        edited, _   = fvr.render(fvr.poses[:1], fvr.frame_latents[:1],
+                                 edit=EditConfig(test_time_scaling=2.0))
+
+    Conversion helpers (`to8b`, `disparity_to_jet`,
+    `disparity_to_blinn_phong`) and the raw pieces (params/cfg/rs/dataset)
+    are attributes, so anything the CLI does can be scripted.
+    """
+    import types
+
+    import jax.numpy as jnp  # noqa: F401  (ensures jax is importable early)
+
+    args, params, ckpt_extras = load_experiment(input_folder)
+
+    from nonrigid_nerf_tpu.config import (EditConfig,
+                                          model_config_from_args,
+                                          render_settings_from_args)
+    from nonrigid_nerf_tpu.apps.render_path import render_path
+    from nonrigid_nerf_tpu.ops.math import to8b
+    from nonrigid_nerf_tpu.utils.viz import (disparity_to_blinn_phong,
+                                             disparity_to_jet)
+    import train as train_module
+
+    (ds, images, poses, render_poses, intrinsics, extras,
+     i_train, i_test) = train_module.load_dataset(args)
+
+    cfg = model_config_from_args(args)
+    rs = render_settings_from_args(args, ds.near, ds.far).test_mode()
+    latents = np.asarray(params["latents"])
+    frame_latents = np.stack(
+        [latents[extras["imageid_to_timestepid"][i]]
+         for i in range(len(images))])
+
+    def render(render_poses_, frame_latents_, edit: EditConfig = None,
+               render_factor: int = 0, detailed: bool = False,
+               view_ids=None):
+        """Render poses with per-frame latents; returns (rgbs, disps) numpy
+        stacks (reference analog: render_convenient,
+        free_viewpoint_rendering.py:202-337). `view_ids` picks per-frame
+        intrinsics (defaults to view 0's)."""
+        rp = np.asarray(render_poses_)
+        if view_ids is None:
+            view_ids = [extras["imageid_to_viewid"][0]] * len(rp)
+        intr = [intrinsics[v] for v in view_ids]
+        return render_path(
+            params, cfg, rs, rp[:, :3, :4], intr,
+            np.asarray(frame_latents_), chunk=args.chunk,
+            render_factor=render_factor, detailed=detailed,
+            edit=edit if edit is not None else EditConfig(), verbose=False)
+
+    return types.SimpleNamespace(
+        args=args, cfg=cfg, rs=rs, params=params, ckpt_extras=ckpt_extras,
+        dataset=ds, images=images, poses=poses, render_poses=render_poses,
+        intrinsics=intrinsics, extras=extras, i_train=i_train, i_test=i_test,
+        latents=latents, frame_latents=frame_latents, render=render,
+        to8b=to8b, disparity_to_jet=disparity_to_jet,
+        disparity_to_blinn_phong=disparity_to_blinn_phong)
+
+
 def free_viewpoint_rendering(fvr_args):
     args, params, ckpt_extras = load_experiment(fvr_args.input)
 

@@ -349,3 +349,28 @@ class TestRenderPathApp:
                                   chunk=64, render_factor=2, verbose=False)
         assert rgbs.shape[1] == int(intrin["height"]) // 2
         assert rgbs.shape[2] == int(intrin["width"]) // 2
+
+
+class TestProgrammaticAPI:
+    """setup() — the notebook-facing equivalent of the reference's
+    _setup_nonrigid_nerf_network closures (reference:
+    free_viewpoint_rendering.py:392-411)."""
+
+    def test_setup_and_render(self, experiment):
+        import free_viewpoint_rendering as fvr_mod
+        from nonrigid_nerf_tpu.config import EditConfig
+
+        _, _, folder = experiment
+        fvr = fvr_mod.setup(folder)
+        assert fvr.frame_latents.shape[0] == len(fvr.images)
+        assert fvr.cfg.use_ray_bending
+
+        rgbs, disps = fvr.render(fvr.poses[:2], fvr.frame_latents[:2])
+        assert rgbs.shape == (2, 10, 12, 3) and disps.shape == (2, 10, 12)
+        assert np.isfinite(rgbs).all()
+
+        canon, _ = fvr.render(fvr.poses[:1], fvr.frame_latents[:1],
+                              edit=EditConfig(render_canonical=True))
+        assert np.isfinite(canon).all()
+        img8 = fvr.to8b(rgbs[0])
+        assert img8.dtype == np.uint8
