@@ -150,7 +150,7 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
     embedded = stage1["embedded"]
     if fused:
         from nonrigid_nerf_tpu.ops.pallas.fused_query import (
-            MLP_FWD_BLOCK, N_BEND_W, VEMB, pack_fused_weights,
+            MLP_FWD_BLOCK, VEMB, pack_mlp_weights,
             pack_viewdirs_mlp_weights, _mlp_core, _mlpv_core)
         R, S = embedded.shape[:2]
         n = R * S
@@ -175,7 +175,7 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
                                        network, cfg.multires)
             raw = mlp_i8_core(emb_flat, qw, block)
         else:
-            mw = pack_fused_weights(params, cfg.multires, network)[N_BEND_W:]
+            mw = pack_mlp_weights(params, network)
             raw = _mlp_core(emb_flat, mw, block)
         raw = raw[:n, :4].reshape(R, S, 4)
     else:

@@ -52,14 +52,22 @@ N_WEIGHTS = 37
 
 
 def supports_fused_query(cfg) -> bool:
-    """The kernels cover the flagship architecture: bending + rigidity on,
-    default widths/depths, fourier encoding. View directions are supported
-    (the MLP kernel grows the alpha/feature/views/rgb heads, _mlpv_core);
-    the direction computation itself stays in XLA."""
-    return (cfg.use_ray_bending
-            and cfg.use_rigidity_network
-            and getattr(cfg, "bending_activation", "relu") == "relu"
-            and (not cfg.use_viewdirs or cfg.multires_views == 4)
+    """Whether the ENGINE's hybrid fused path (XLA bend/encode + Pallas MLP
+    kernel) covers this architecture.
+
+    Only canonical-MLP conditions matter: the deformation field runs in XLA
+    regardless (any bending depth/width/activation, rigidity on or off, or
+    NO bending at all — plain NeRF — all route through the MLP kernel).
+    View directions are supported (_mlpv_core grows the
+    alpha/feature/views/rgb heads); the direction computation itself stays
+    in XLA. The time-conditioned baseline concatenates the latent into the
+    MLP input (different input width), so it falls back.
+
+    The MONOLITHIC kernels (fused_point_query[_split]) additionally assume
+    the flagship bending architecture (depth 5 x 64, rigidity 3 x 32,
+    latent 32, relu); they are exported for benchmarking, not used by the
+    engine."""
+    return ((not cfg.use_viewdirs or cfg.multires_views == 4)
             and not cfg.time_conditioned_baseline
             and cfg.i_embed == 0
             and cfg.multires == 10
@@ -68,10 +76,7 @@ def supports_fused_query(cfg) -> bool:
             # so a non-default fine architecture must fall back to XLA
             and (cfg.N_importance <= 0
                  or (cfg.netdepth_fine == 8 and cfg.netwidth_fine == NW))
-            and tuple(cfg.skips) == (4,)
-            and cfg.bending_depth == 5 and cfg.bending_width == BW
-            and cfg.rigidity_depth == 3 and cfg.rigidity_width == RW
-            and cfg.ray_bending_latent_size == LAT)
+            and tuple(cfg.skips) == (4,))
 
 
 def _embedding_projection(multires: int = 10):
@@ -93,58 +98,72 @@ def _embedding_projection(multires: int = 10):
     return P, phase
 
 
-def pack_fused_weights(params, multires: int = 10, network: str = "coarse"):
-    """Flatten the model pytree into the kernel's padded f32 weight tuple.
-    See _forward_math for the unpack order."""
-    bend = params["bender"]["bend"]
-    rig = params["bender"]["rigidity"]
+def _pad_w(w, rows, cols):
+    out = jnp.zeros((rows, cols), jnp.float32)
+    return out.at[:w.shape[0], :w.shape[1]].set(w)
+
+
+def _pad_b(b, cols):
+    out = jnp.zeros((1, cols), jnp.float32)
+    return out.at[0, :b.shape[0]].set(b)
+
+
+def pack_mlp_weights(params, network: str = "coarse"):
+    """MLP-only weight tuple (== the [N_BEND_W:] slice of
+    pack_fused_weights): the canonical 8x256 chain + raw output head. No
+    bender required — this is what the hybrid engine path consumes, so it
+    also serves plain-NeRF (ray_bending=None) models."""
     pts_layers = params[network]["pts"]
     out_layer = params[network]["output"]
-
-    def pad_w(w, rows, cols):
-        out = jnp.zeros((rows, cols), jnp.float32)
-        return out.at[:w.shape[0], :w.shape[1]].set(w)
-
-    def pad_b(b, cols):
-        out = jnp.zeros((1, cols), jnp.float32)
-        return out.at[0, :b.shape[0]].set(b)
-
-    P, phase = _embedding_projection(multires)
-
     ws = [
-        pad_w(bend[0]["w"][:3], PTS_PAD, BW),         # 0 bend0_p
-        bend[0]["w"][3:],                             # 1 bend0_l (LAT, BW)
-        pad_b(bend[0]["b"], BW),                      # 2
-        bend[1]["w"], pad_b(bend[1]["b"], BW),        # 3,4
-        bend[2]["w"], pad_b(bend[2]["b"], BW),        # 5,6
-        bend[3]["w"], pad_b(bend[3]["b"], BW),        # 7,8
-        pad_w(bend[4]["w"], BW, PTS_PAD),             # 9 bendo_w (no bias)
-        pad_w(rig[0]["w"][:3], PTS_PAD, RW),          # 10
-        pad_b(rig[0]["b"], RW),                       # 11
-        rig[1]["w"], pad_b(rig[1]["b"], RW),          # 12,13
-        pad_w(rig[2]["w"], RW, PTS_PAD),              # 14
-        pad_b(rig[2]["b"], PTS_PAD),                  # 15
-        jnp.asarray(P),                               # 16
-        jnp.asarray(phase).reshape(1, EMB),           # 17
-        pad_w(pts_layers[0]["w"], EMB, NW),           # 18 n0_w
-        pad_b(pts_layers[0]["b"], NW),                # 19
+        _pad_w(pts_layers[0]["w"], EMB, NW),          # n0_w
+        _pad_b(pts_layers[0]["b"], NW),
     ]
     for i in (1, 2, 3, 4):
-        ws += [pts_layers[i]["w"], pad_b(pts_layers[i]["b"], NW)]
+        ws += [pts_layers[i]["w"], _pad_b(pts_layers[i]["b"], NW)]
     # skip layer 5: input is concat([encoded(63), hidden(256)]) -> rows
     # 0..62 are the encoded part, 63.. the hidden part
     w5 = pts_layers[5]["w"]
     ws += [
-        pad_w(w5[:63], EMB, NW),                      # 28 n5_e
-        w5[63:],                                      # 29 n5_h (NW, NW)
-        pad_b(pts_layers[5]["b"], NW),                # 30
+        _pad_w(w5[:63], EMB, NW),                     # n5_e
+        w5[63:],                                      # n5_h (NW, NW)
+        _pad_b(pts_layers[5]["b"], NW),
     ]
     for i in (6, 7):
-        ws += [pts_layers[i]["w"], pad_b(pts_layers[i]["b"], NW)]
+        ws += [pts_layers[i]["w"], _pad_b(pts_layers[i]["b"], NW)]
     ws += [
-        pad_w(out_layer["w"][:, :4], NW, OUT_PAD),    # 35 out_w
-        pad_b(out_layer["b"][:4], OUT_PAD),           # 36
+        _pad_w(out_layer["w"][:, :4], NW, OUT_PAD),   # out_w
+        _pad_b(out_layer["b"][:4], OUT_PAD),
     ]
+    return tuple(ws)
+
+
+def pack_fused_weights(params, multires: int = 10, network: str = "coarse"):
+    """Flatten the model pytree into the monolithic kernel's padded f32
+    weight tuple (bend + rigidity + embedding projection + MLP). See
+    _forward_math for the unpack order."""
+    bend = params["bender"]["bend"]
+    rig = params["bender"]["rigidity"]
+
+    P, phase = _embedding_projection(multires)
+
+    ws = [
+        _pad_w(bend[0]["w"][:3], PTS_PAD, BW),        # 0 bend0_p
+        bend[0]["w"][3:],                             # 1 bend0_l (LAT, BW)
+        _pad_b(bend[0]["b"], BW),                     # 2
+        bend[1]["w"], _pad_b(bend[1]["b"], BW),       # 3,4
+        bend[2]["w"], _pad_b(bend[2]["b"], BW),       # 5,6
+        bend[3]["w"], _pad_b(bend[3]["b"], BW),       # 7,8
+        _pad_w(bend[4]["w"], BW, PTS_PAD),            # 9 bendo_w (no bias)
+        _pad_w(rig[0]["w"][:3], PTS_PAD, RW),         # 10
+        _pad_b(rig[0]["b"], RW),                      # 11
+        rig[1]["w"], _pad_b(rig[1]["b"], RW),         # 12,13
+        _pad_w(rig[2]["w"], RW, PTS_PAD),             # 14
+        _pad_b(rig[2]["b"], PTS_PAD),                 # 15
+        jnp.asarray(P),                               # 16
+        jnp.asarray(phase).reshape(1, EMB),           # 17
+    ]
+    ws += list(pack_mlp_weights(params, network))     # 18..36
     assert len(ws) == N_WEIGHTS
     return tuple(ws)
 

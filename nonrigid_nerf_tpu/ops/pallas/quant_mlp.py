@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nonrigid_nerf_tpu.ops.pallas.fused_query import (
-    EMB, NW, OUT_PAD, _io_spec, _mlp_fwd_math, pack_fused_weights, N_BEND_W)
+    EMB, NW, OUT_PAD, _io_spec, _mlp_fwd_math, pack_mlp_weights)
 
 N_LAYERS = 8            # hidden layers of the canonical MLP
 I8_FWD_BLOCK = 4096     # int8 acts are quarter-width; working set is tiny
@@ -64,7 +64,7 @@ def calibrate_act_scales(params, emb_samples, network: str = "coarse",
     """
     if emb_samples.shape[-1] == 63:
         emb_samples = jnp.pad(emb_samples, ((0, 0), (0, 1)))
-    mw = pack_fused_weights(params, multires, network)[N_BEND_W:]
+    mw = pack_mlp_weights(params, network)
     _, acts = _mlp_fwd_math(emb_samples, mw, return_acts=True)
     order = ["embb", "nh1", "nh2", "nh3", "nh4", "nh5", "nh6", "nh7", "nh8"]
     return jnp.stack([jnp.max(jnp.abs(acts[k].astype(jnp.float32)))
@@ -130,7 +130,7 @@ def pack_int8_mlp_weights(params, scales, network: str = "coarse",
     activations l use zero-point -127 over [0, s_l]; the embedding is
     symmetric over [-s_emb, s_emb].
     """
-    mw = pack_fused_weights(params, multires, network)[N_BEND_W:]
+    mw = pack_mlp_weights(params, network)
     (n0w, n0b, n1w, n1b, n2w, n2b, n3w, n3b, n4w, n4b,
      n5e, n5h, n5b, n6w, n6b, n7w, n7b, ow, ob) = mw
     s = [jnp.maximum(scales[i], 1e-8) for i in range(9)]

@@ -176,6 +176,36 @@ class TestIntegration:
         np.testing.assert_allclose(det_p["masked_offsets"],
                                    det_x["masked_offsets"], atol=5e-3)
 
+    def test_query_points_plain_nerf_fused_matches_xla(self):
+        """The hybrid path needs no bender: plain-NeRF (ray_bending=None)
+        models route the canonical MLP through the kernel too."""
+        from nonrigid_nerf_tpu.engine.query import query_points
+        import dataclasses
+        cfg = dataclasses.replace(CFG, ray_bending=None)
+        assert fq.supports_fused_query(cfg)
+        params = {"coarse": init_nerf_params(jax.random.PRNGKey(11), cfg)}
+        pts = jnp.asarray(np.random.RandomState(12).randn(4, 32, 3),
+                          dtype=jnp.float32)
+        lat = jnp.zeros((4, 32), jnp.float32)
+        raw_p = query_points(
+            params, dataclasses.replace(cfg, fused_kernel="on"),
+            pts, None, lat)
+        raw_x = query_points(
+            params, dataclasses.replace(cfg, fused_kernel="off"),
+            pts, None, lat)
+        np.testing.assert_allclose(raw_p, raw_x, atol=3e-2)
+
+    def test_nondefault_bending_configs_stay_supported(self):
+        """The bend stage runs in XLA, so SIREN / custom bending widths /
+        no-rigidity configs keep the MLP kernel."""
+        import dataclasses
+        for change in (dict(bending_activation="sin"),
+                       dict(bending_width=128, bending_depth=3),
+                       dict(use_rigidity_network=False),
+                       dict(ray_bending_latent_size=16)):
+            assert fq.supports_fused_query(dataclasses.replace(CFG, **change)), \
+                change
+
     def test_auto_falls_back_on_cpu_and_edits(self):
         from nonrigid_nerf_tpu.engine.query import _use_fused_kernel
         from nonrigid_nerf_tpu.config import EditConfig
@@ -198,13 +228,13 @@ class TestIntegration:
         import dataclasses
         from nonrigid_nerf_tpu.ops.pallas.fused_query import \
             supports_fused_query
-        assert supports_fused_query(CFG)
+        assert fq.supports_fused_query(CFG)
         cfg_fine = dataclasses.replace(CFG, netdepth_fine=4,
                                        netwidth_fine=128)
         assert not supports_fused_query(cfg_fine)
         # ...but a coarse-only run with an exotic fine arch is fine
         cfg_coarse_only = dataclasses.replace(cfg_fine, N_importance=0)
-        assert supports_fused_query(cfg_coarse_only)
+        assert fq.supports_fused_query(cfg_coarse_only)
 
 
 class TestViewdirsKernel:
