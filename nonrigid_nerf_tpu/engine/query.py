@@ -68,6 +68,7 @@ def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
         # CPU through pallas interpret mode.
         return (jax.default_backend() == "tpu"
                 and supports_fused_query(cfg) and not cfg.use_viewdirs
+                and not cfg.time_conditioned_baseline
                 and not _edits_active(edit))
     if not supports_fused_query(cfg) or _edits_active(edit):
         if cfg.fused_kernel == "on":
@@ -150,13 +151,21 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
     embedded = stage1["embedded"]
     if fused:
         from nonrigid_nerf_tpu.ops.pallas.fused_query import (
-            MLP_FWD_BLOCK, VEMB, pack_mlp_weights,
+            MLP_FWD_BLOCK, VEMB, pack_mlp_weights, pad_lanes,
             pack_viewdirs_mlp_weights, _mlp_core, _mlpv_core)
+        if cfg.time_conditioned_baseline:
+            # the latent rides in the MLP input (reference:
+            # run_nerf_helpers.py:207-209)
+            embedded = jnp.concatenate(
+                [embedded,
+                 stage1["latents_per_pt"].astype(embedded.dtype)], axis=-1)
         R, S = embedded.shape[:2]
         n = R * S
+        in_ch = embedded.shape[-1]
         block = MLP_FWD_BLOCK
         n_pad = -(-n // block) * block
-        emb_flat = jnp.pad(embedded.reshape(n, 63), ((0, n_pad - n), (0, 1)))
+        emb_flat = jnp.pad(embedded.reshape(n, in_ch),
+                           ((0, n_pad - n), (0, pad_lanes(in_ch) - in_ch)))
         if cfg.use_viewdirs:
             ev = embedded_views.astype(jnp.bfloat16)
             embv_flat = jnp.pad(
@@ -175,7 +184,7 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
                                        network, cfg.multires)
             raw = mlp_i8_core(emb_flat, qw, block)
         else:
-            mw = pack_mlp_weights(params, network)
+            mw = pack_mlp_weights(params, network, in_ch=in_ch)
             raw = _mlp_core(emb_flat, mw, block)
         raw = raw[:n, :4].reshape(R, S, 4)
     else:

@@ -61,14 +61,18 @@ def supports_fused_query(cfg) -> bool:
     View directions are supported (_mlpv_core grows the
     alpha/feature/views/rgb heads); the direction computation itself stays
     in XLA. The time-conditioned baseline concatenates the latent into the
-    MLP input (different input width), so it falls back.
+    MLP input — the kernel pads the 63+latent channels to 128 lanes
+    (no-viewdirs only; the viewdirs weight packing still assumes the
+    63-channel input).
 
     The MONOLITHIC kernels (fused_point_query[_split]) additionally assume
     the flagship bending architecture (depth 5 x 64, rigidity 3 x 32,
     latent 32, relu); they are exported for benchmarking, not used by the
     engine."""
     return ((not cfg.use_viewdirs or cfg.multires_views == 4)
-            and not cfg.time_conditioned_baseline
+            and (not cfg.time_conditioned_baseline
+                 or (not cfg.use_viewdirs
+                     and 63 + cfg.ray_bending_latent_size <= 128))
             and cfg.i_embed == 0
             and cfg.multires == 10
             and cfg.netdepth == 8 and cfg.netwidth == NW
@@ -108,25 +112,36 @@ def _pad_b(b, cols):
     return out.at[0, :b.shape[0]].set(b)
 
 
-def pack_mlp_weights(params, network: str = "coarse"):
+def pad_lanes(n_ch: int) -> int:
+    """Input channels padded to a lane-friendly width (multiple of 64)."""
+    return -(-n_ch // 64) * 64
+
+
+def pack_mlp_weights(params, network: str = "coarse", in_ch: int = 63):
     """MLP-only weight tuple (== the [N_BEND_W:] slice of
     pack_fused_weights): the canonical 8x256 chain + raw output head. No
     bender required — this is what the hybrid engine path consumes, so it
-    also serves plain-NeRF (ray_bending=None) models."""
+    also serves plain-NeRF (ray_bending=None) models.
+
+    in_ch: raw MLP input channels BEFORE padding — 63 for the fourier
+    encoding, 63 + latent_size for the time-conditioned baseline (the
+    latent is concatenated into the input, reference
+    run_nerf_helpers.py:207-209). Padded to a multiple of 64 lanes."""
     pts_layers = params[network]["pts"]
     out_layer = params[network]["output"]
+    emb_pad = pad_lanes(in_ch)
     ws = [
-        _pad_w(pts_layers[0]["w"], EMB, NW),          # n0_w
+        _pad_w(pts_layers[0]["w"], emb_pad, NW),      # n0_w
         _pad_b(pts_layers[0]["b"], NW),
     ]
     for i in (1, 2, 3, 4):
         ws += [pts_layers[i]["w"], _pad_b(pts_layers[i]["b"], NW)]
-    # skip layer 5: input is concat([encoded(63), hidden(256)]) -> rows
-    # 0..62 are the encoded part, 63.. the hidden part
+    # skip layer 5: input is concat([mlp_input(in_ch), hidden(256)]) ->
+    # rows 0..in_ch-1 are the input part, in_ch.. the hidden part
     w5 = pts_layers[5]["w"]
     ws += [
-        _pad_w(w5[:63], EMB, NW),                     # n5_e
-        w5[63:],                                      # n5_h (NW, NW)
+        _pad_w(w5[:in_ch], emb_pad, NW),              # n5_e
+        w5[in_ch:],                                   # n5_h (NW, NW)
         _pad_b(pts_layers[5]["b"], NW),
     ]
     for i in (6, 7):
@@ -774,12 +789,12 @@ MLP_BWD_BLOCK = 2048   # bf16 weight copies + bf16 recomputed acts leave
 
 
 def _mlp_pallas_fwd(embb, mwb, block):
-    n = embb.shape[0]
+    n, emb_cols = embb.shape
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mwb]
     return pl.pallas_call(
         _mlp_fwd_kernel,
         grid=(n // block,),
-        in_specs=[_io_spec(block, EMB)] + w_specs,
+        in_specs=[_io_spec(block, emb_cols)] + w_specs,
         out_specs=_io_spec(block, OUT_PAD),
         out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
     )(embb, *mwb)
@@ -804,7 +819,7 @@ def _mlp_core_fwd(emb, mw, block):
 
 def _mlp_core_bwd(block, residuals, draw):
     embb, mw = residuals
-    n = embb.shape[0]
+    n, emb_cols = embb.shape
     block = min(block, MLP_BWD_BLOCK)
     dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM) for w in mw]
@@ -814,9 +829,11 @@ def _mlp_core_bwd(block, residuals, draw):
     out = pl.pallas_call(
         _mlp_bwd_kernel,
         grid=(n // block,),
-        in_specs=[_io_spec(block, EMB)] + w_specs + [_io_spec(block, OUT_PAD)],
-        out_specs=[_io_spec(block, EMB)] + dw_specs,
-        out_shape=[jax.ShapeDtypeStruct((n, EMB), jnp.float32)] + dw_shapes,
+        in_specs=([_io_spec(block, emb_cols)] + w_specs
+                  + [_io_spec(block, OUT_PAD)]),
+        out_specs=[_io_spec(block, emb_cols)] + dw_specs,
+        out_shape=([jax.ShapeDtypeStruct((n, emb_cols), jnp.float32)]
+                   + dw_shapes),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024),
     )(embb, *mwb, draw)

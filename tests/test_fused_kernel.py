@@ -195,6 +195,26 @@ class TestIntegration:
             pts, None, lat)
         np.testing.assert_allclose(raw_p, raw_x, atol=3e-2)
 
+    def test_query_points_baseline_fused_matches_xla(self):
+        """time_conditioned_baseline concatenates the latent into the MLP
+        input (63+32 -> padded to 128 lanes); the kernel must match XLA."""
+        from nonrigid_nerf_tpu.engine.query import query_points
+        import dataclasses
+        cfg = dataclasses.replace(CFG, ray_bending=None,
+                                  time_conditioned_baseline=True)
+        assert fq.supports_fused_query(cfg)
+        params = {"coarse": init_nerf_params(jax.random.PRNGKey(13), cfg)}
+        rng = np.random.RandomState(14)
+        pts = jnp.asarray(rng.randn(4, 32, 3).astype(np.float32))
+        lat = jnp.asarray(0.3 * rng.randn(4, 32).astype(np.float32))
+        raw_p = query_points(
+            params, dataclasses.replace(cfg, fused_kernel="on"),
+            pts, None, lat)
+        raw_x = query_points(
+            params, dataclasses.replace(cfg, fused_kernel="off"),
+            pts, None, lat)
+        np.testing.assert_allclose(raw_p, raw_x, atol=3e-2)
+
     def test_nondefault_bending_configs_stay_supported(self):
         """The bend stage runs in XLA, so SIREN / custom bending widths /
         no-rigidity configs keep the MLP kernel."""
