@@ -226,6 +226,26 @@ class TestIntegration:
             assert fq.supports_fused_query(dataclasses.replace(CFG, **change)), \
                 change
 
+    def test_query_points_siren_bending_fused_matches_xla(self):
+        """Fused parity through a SIREN bending field (newly enabled by the
+        relaxed predicate — the bend stage is XLA either way)."""
+        from nonrigid_nerf_tpu.engine.query import query_points
+        import dataclasses
+        cfg = dataclasses.replace(CFG, bending_activation="sin")
+        ks = jax.random.split(jax.random.PRNGKey(15), 2)
+        params = {"coarse": init_nerf_params(ks[0], cfg),
+                  "bender": init_bending_params(ks[1], cfg)}
+        rng = np.random.RandomState(16)
+        pts = jnp.asarray(rng.randn(4, 16, 3).astype(np.float32))
+        lat = jnp.asarray(0.1 * rng.randn(4, 32).astype(np.float32))
+        raw_p = query_points(
+            params, dataclasses.replace(cfg, fused_kernel="on"),
+            pts, None, lat)
+        raw_x = query_points(
+            params, dataclasses.replace(cfg, fused_kernel="off"),
+            pts, None, lat)
+        np.testing.assert_allclose(raw_p, raw_x, atol=3e-2)
+
     def test_auto_falls_back_on_cpu_and_edits(self):
         from nonrigid_nerf_tpu.engine.query import _use_fused_kernel
         from nonrigid_nerf_tpu.config import EditConfig
