@@ -154,8 +154,12 @@ def setup(input_folder: str):
 def free_viewpoint_rendering(fvr_args):
     args, params, ckpt_extras = load_experiment(fvr_args.input)
 
-    from nonrigid_nerf_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache(getattr(args, "compilation_cache_dir", None))
+    try:
+        from nonrigid_nerf_tpu.utils.compile_cache import \
+            enable_compilation_cache
+        enable_compilation_cache(getattr(args, "compilation_cache_dir", None))
+    except ImportError:
+        pass   # the experiment's backup/ snapshot predates the cache module
 
     import jax.numpy as jnp
 
@@ -209,8 +213,16 @@ def free_viewpoint_rendering(fvr_args):
         # spread across the sequence, then route the canonical MLP through
         # the int8 MXU kernel (ops/pallas/quant_mlp.py)
         import dataclasses
-        from nonrigid_nerf_tpu.ops.pallas.quant_mlp import \
-            quantize_for_inference
+        try:
+            from nonrigid_nerf_tpu.ops.pallas.quant_mlp import \
+                quantize_for_inference
+        except ImportError as e:
+            raise SystemExit(
+                "--quantize_inference needs nonrigid_nerf_tpu.ops.pallas."
+                "quant_mlp, but this experiment's backup/ code snapshot "
+                "predates it. Copy the module into the snapshot or rerun "
+                "from a repo checkout without the snapshot on sys.path."
+            ) from e
         sel = np.unique(np.linspace(0, len(images) - 1, 8).astype(int))
         cal_o, cal_d, cal_l = [], [], []
         for i in sel:
