@@ -173,6 +173,15 @@ def free_viewpoint_rendering(fvr_args):
                                              disparity_to_jet)
     import train as train_module
 
+    if fvr_args.quantize_inference and (
+            getattr(args, "use_viewdirs", False)
+            or getattr(args, "time_conditioned_baseline", False)):
+        # the int8 kernel covers the no-viewdirs canonical MLP only
+        # (see _use_fused_kernel); don't calibrate what can't run
+        print("--quantize_inference: unsupported for viewdirs/baseline "
+              "models; rendering with the default path", flush=True)
+        fvr_args.quantize_inference = False
+
     # output folder name encodes path + edits
     # (reference: free_viewpoint_rendering.py:425-446)
     output_name = fvr_args.deformations + "_" + fvr_args.camera_path
