@@ -130,6 +130,11 @@ def main():
         "render_rays_per_sec": round(render_rays_per_sec, 1),
         "train_rays_per_sec_bf16": round(rays_per_sec_bf16, 1),
         "train_rays_per_sec_viewdirs": round(rays_per_sec_vd, 1),
+        # the reference publishes no absolute numbers (BASELINE.md);
+        # vs_baseline divides by the documented estimate below
+        "baseline_estimated": True,
+        "baseline_assumption": "PyTorch NR-NeRF ~200k iters/day on V100 "
+                               "at N_rand=1024 => ~2400 train rays/s",
     }
     print(json.dumps(result))
 

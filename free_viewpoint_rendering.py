@@ -173,6 +173,13 @@ def free_viewpoint_rendering(fvr_args):
                                              disparity_to_jet)
     import train as train_module
 
+    cfg = model_config_from_args(args)
+    edit = EditConfig(
+        rigidity_test_time_cutoff=fvr_args.forced_background_stabilization,
+        test_time_scaling=fvr_args.motion_factor,
+        nonrigid_object_removal_threshold=fvr_args.foreground_removal,
+        render_canonical=fvr_args.render_canonical)
+
     if fvr_args.quantize_inference and (
             getattr(args, "use_viewdirs", False)
             or getattr(args, "time_conditioned_baseline", False)):
@@ -181,6 +188,19 @@ def free_viewpoint_rendering(fvr_args):
         print("--quantize_inference: unsupported for viewdirs/baseline "
               "models; rendering with the default path", flush=True)
         fvr_args.quantize_inference = False
+    if fvr_args.quantize_inference:
+        # the kernel also declines at render time for active scene edits or
+        # a non-TPU backend — check NOW so the output folder is not named
+        # _int8 for renders that would silently take the f32 path
+        import dataclasses
+        from nonrigid_nerf_tpu.engine.query import use_fused_kernel
+        cfg_int8 = dataclasses.replace(cfg, fused_kernel="int8")
+        if not use_fused_kernel(cfg_int8, edit):
+            print("--quantize_inference: the int8 kernel does not run for "
+                  "this configuration (scene edits active, or backend is "
+                  "not TPU); rendering with the default f32 path",
+                  flush=True)
+            fvr_args.quantize_inference = False
 
     # output folder name encodes path + edits
     # (reference: free_viewpoint_rendering.py:425-446)
@@ -204,13 +224,7 @@ def free_viewpoint_rendering(fvr_args):
     (ds, images, poses, render_poses, intrinsics, extras,
      i_train, i_test) = train_module.load_dataset(args)
 
-    cfg = model_config_from_args(args)
     rs = render_settings_from_args(args, ds.near, ds.far).test_mode()
-    edit = EditConfig(
-        rigidity_test_time_cutoff=fvr_args.forced_background_stabilization,
-        test_time_scaling=fvr_args.motion_factor,
-        nonrigid_object_removal_threshold=fvr_args.foreground_removal,
-        render_canonical=fvr_args.render_canonical)
 
     latents = np.asarray(params["latents"])      # (T, L)
     frame_latents = np.stack(
@@ -470,7 +484,8 @@ def free_viewpoint_rendering(fvr_args):
             ssim_val, ssim_map = ssim(gt, gen, full=True)
             lp = lpips_distance(gt, gen)
             if lp is None:
-                lp, lpips_missing = 1.0, True
+                # no weights available: record null, NEVER a fake number
+                lpips_missing = True
             scores[i] = {"psnr": psnr(gt, gen), "ssim": ssim_val,
                          "lpips": lp}
 
@@ -482,19 +497,22 @@ def free_viewpoint_rendering(fvr_args):
             imageio.imwrite(os.path.join(ssim_folder, f"error_{i:03d}.png"),
                             to8b(disparity_to_jet(ssim_err)))
 
+        lpips_vals = [s["lpips"] for s in scores.values()
+                      if s["lpips"] is not None]
         averaged = {
             "average_psnr": float(np.mean([s["psnr"]
                                            for s in scores.values()])),
             "average_ssim": float(np.mean([s["ssim"]
                                            for s in scores.values()])),
-            "average_lpips": float(np.mean([s["lpips"]
-                                            for s in scores.values()])),
+            "average_lpips": (float(np.mean(lpips_vals))
+                              if lpips_vals else None),
+            "lpips_available": not lpips_missing,
         }
         if lpips_missing:
-            print("LPIPS weights not found; lpips scores are the constant "
-                  "1.0 placeholder. Generate data/lpips_alex.npz once with "
-                  "tools/convert_lpips_weights.py (or pip install lpips) "
-                  "for real values.")
+            print("LPIPS weights not found; lpips is reported as null "
+                  "(lpips_available: false). Generate data/lpips_alex.npz "
+                  "once with tools/convert_lpips_weights.py (or pip install "
+                  "lpips) for real values.")
         print(averaged, flush=True)
         scores.update(averaged)
         with open(os.path.join(output_folder, "scores.json"), "w") as f:

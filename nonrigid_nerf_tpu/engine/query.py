@@ -175,13 +175,13 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
             raw = _mlpv_core(emb_flat, embv_flat, mv, block)
         elif cfg.fused_kernel == "int8":
             from nonrigid_nerf_tpu.ops.pallas.quant_mlp import (
-                mlp_i8_core, pack_int8_mlp_weights)
+                mlp_i8_core, packed_int8_weights)
             if "quant" not in params or network not in params["quant"]:
                 raise ValueError(
                     "fused_kernel='int8' needs calibration scales in "
                     "params['quant']; run quantize_for_inference() first")
-            qw = pack_int8_mlp_weights(params, params["quant"][network],
-                                       network, cfg.multires)
+            qw = packed_int8_weights(params["quant"][network], params,
+                                     network, cfg.multires)
             raw = mlp_i8_core(emb_flat, qw, block)
         else:
             mw = pack_mlp_weights(params, network, in_ch=in_ch)

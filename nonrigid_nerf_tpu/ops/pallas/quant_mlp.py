@@ -102,16 +102,32 @@ def quantize_for_inference(params, cfg, rays_o, rays_d, latents,
 
 
 def add_quant_scales(params, emb_samples, multires: int = 10):
-    """Return params with a `"quant"` leaf holding per-network calibration
-    scales. Idempotent; keeps all other leaves by reference."""
+    """Return params with a `"quant"` leaf holding, per network, the
+    calibration scales AND the prepacked int8 weight tuple (so the rounding
+    / clipping / colsum-bias folds run ONCE here, not inside the renderer's
+    chunk loop). Idempotent; keeps all other leaves by reference."""
     quant = {}
     for network in ("coarse", "fine"):
         if network in params:
-            quant[network] = calibrate_act_scales(
+            scales = calibrate_act_scales(
                 params, emb_samples, network, multires)
+            quant[network] = {
+                "scales": scales,
+                "packed": pack_int8_mlp_weights(params, scales, network,
+                                                multires),
+            }
     out = dict(params)
     out["quant"] = quant
     return out
+
+
+def packed_int8_weights(quant_leaf, params, network: str, multires: int):
+    """The kernel weight tuple from a `params["quant"][network]` entry.
+    Prefers the prepacked tuple; falls back to on-the-fly packing for old
+    entries that stored only the (9,) scales array."""
+    if isinstance(quant_leaf, dict) and "packed" in quant_leaf:
+        return tuple(quant_leaf["packed"])
+    return pack_int8_mlp_weights(params, quant_leaf, network, multires)
 
 
 # Packed weight tuple layout (all matmul operands int8, per-out-channel
@@ -222,12 +238,6 @@ def _i8_fwd_math(emb, w):
 def _i8_fwd_kernel(emb_ref, *rest):
     w = [r[:] for r in rest[:N_QW + 1]]
     rest[N_QW + 1][:] = _i8_fwd_math(emb_ref[:], w)
-
-
-def _unpack_layout(qw):
-    """Split the packed tuple from pack_int8_mlp_weights for pallas_call
-    (already in kernel order)."""
-    return qw
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -79,10 +79,11 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
 
     # torch.searchsorted(cdf, u, right=False) returns the first index with
     # cdf[idx] >= u; `below` = idx-1 clamped, `above` = idx clamped. The
-    # bracketing interval is therefore the largest bin with cdf < u... the
-    # masked-reduction below reproduces exactly the gathered (cdf_g, bins_g)
-    # pairs: mask uses <= so that ties resolve to the same interval as the
-    # reference's (max(idx-1, 0), idx) gather.
+    # bracketing lower edge is therefore the largest bin with cdf
+    # STRICTLY < u — on a tie (cdf[i] == u) searchsorted returns i, so
+    # below = i-1, which the strict `<` mask reproduces. The
+    # masked-reduction below yields exactly the gathered (cdf_g, bins_g)
+    # pairs of the reference's (max(idx-1, 0), idx) gather.
     mask = cdf[..., :, None] < u[..., None, :]           # (..., n_bins, S)
     cdf_below, cdf_above = _gather_intervals(mask, cdf)
     bins_below, bins_above = _gather_intervals(mask, bins)

@@ -67,6 +67,16 @@ def maybe_initialize() -> int:
 
     coord = os.environ.get("NRNERF_COORDINATOR")
     if coord:
+        missing = [v for v in ("NRNERF_NUM_PROCESSES", "NRNERF_PROCESS_ID")
+                   if v not in os.environ]
+        if missing:
+            raise RuntimeError(
+                "NRNERF_COORDINATOR is set but %s %s missing; explicit "
+                "multihost bring-up needs all three of NRNERF_COORDINATOR "
+                "(host:port of process 0), NRNERF_NUM_PROCESSES (total "
+                "process count) and NRNERF_PROCESS_ID (this process's rank)"
+                % (" and ".join(missing),
+                   "is" if len(missing) == 1 else "are"))
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["NRNERF_NUM_PROCESSES"]),

@@ -162,13 +162,35 @@ def reset_cache() -> None:
     _get_model.cache_clear()
 
 
+def _pipeline_supports(h: int, w: int) -> bool:
+    """Whether the AlexNet trunk produces non-empty activations for an
+    (h, w) image — every conv/pool output dim must stay >= 1."""
+    def ok(d):
+        for (_, _, k, stride, pad, pool_before) in _CONVS:
+            if pool_before:
+                if d < 3:
+                    return False
+                d = (d - 3) // 2 + 1
+            d = (d + 2 * pad - k) // stride + 1
+            if d < 1:
+                return False
+        return True
+    return ok(h) and ok(w)
+
+
 def lpips_alex(groundtruth: np.ndarray,
                generated: np.ndarray) -> Optional[float]:
     """LPIPS(AlexNet) distance of two (H, W, 3) images in [0, 1], or None
-    when no weight file is installed."""
+    when no weight file is installed or the images are smaller than the
+    trunk's receptive requirements (~31 px per side)."""
     import jax.numpy as jnp
     fn = _get_model()
     if fn is None:
+        return None
+    h, w = np.asarray(groundtruth).shape[:2]
+    if not _pipeline_supports(h, w):
+        print(f"lpips: image {h}x{w} too small for the AlexNet trunk; "
+              "skipping", flush=True)
         return None
     a = jnp.asarray(groundtruth, jnp.float32)
     b = jnp.asarray(generated, jnp.float32)

@@ -61,7 +61,9 @@ def experiment(tmp_path_factory):
     root = tmp_path_factory.mktemp("cli")
     datadir = root / "data"
     datadir.mkdir()
-    write_synthetic_sequence(str(datadir), n=4, H=10, W=12)
+    # 32x36 is the smallest size the LPIPS AlexNet trunk accepts, so the
+    # same fixture serves the synthetic-weights LPIPS e2e test below
+    write_synthetic_sequence(str(datadir), n=4, H=32, W=36)
     cfg_path = root / "tiny.txt"
     cfg_path.write_text(TINY_CONFIG.format(datadir=datadir,
                                            rootdir=root / "experiments"))
@@ -224,17 +226,51 @@ class TestFVRCLI:
         assert "disp_phong_000003.png" in files
         assert "standard_deviations.png" in files
 
-    def test_input_reconstruction_scores(self, experiment):
-        out = self._run(experiment,
-                        ["--deformations", "all",
-                         "--camera_path", "input_reconstruction"])
+    def test_input_reconstruction_scores(self, experiment, monkeypatch):
+        # no LPIPS weights installed: lpips must be reported as null, never
+        # a placeholder constant averaged in as if real
+        from nonrigid_nerf_tpu.utils import lpips_jax
+        monkeypatch.setattr(lpips_jax, "_candidate_paths", lambda: iter([]))
+        lpips_jax.reset_cache()
+        try:
+            out = self._run(experiment,
+                            ["--deformations", "all",
+                             "--camera_path", "input_reconstruction"])
+        finally:
+            lpips_jax.reset_cache()
         with open(os.path.join(out, "scores.json")) as f:
             scores = json.load(f)
         assert "average_psnr" in scores
         assert "average_ssim" in scores
         assert np.isfinite(scores["average_psnr"])
+        assert scores["average_lpips"] is None
+        assert scores["lpips_available"] is False
+        assert scores["0"]["lpips"] is None
         assert os.path.isdir(os.path.join(out, "naive_errors"))
         assert os.path.isdir(os.path.join(out, "ssim_errors"))
+
+    def test_scores_with_lpips_weights(self, experiment, monkeypatch,
+                                       tmp_path):
+        # with a weight file in place, the SAME CLI path produces real
+        # LPIPS numbers end-to-end (weights here are synthetic — the npz is
+        # a drop-in; see tools/convert_lpips_weights.py)
+        from tests.test_lpips import make_random_weights
+        from nonrigid_nerf_tpu.utils import lpips_jax
+        path = tmp_path / "lpips_alex.npz"
+        np.savez(path, **make_random_weights())
+        monkeypatch.setenv("NRN_LPIPS_WEIGHTS", str(path))
+        lpips_jax.reset_cache()
+        try:
+            out = self._run(experiment,
+                            ["--deformations", "all",
+                             "--camera_path", "input_reconstruction"])
+        finally:
+            lpips_jax.reset_cache()
+        with open(os.path.join(out, "scores.json")) as f:
+            scores = json.load(f)
+        assert scores["lpips_available"] is True
+        assert np.isfinite(scores["average_lpips"])
+        assert all(np.isfinite(scores[str(i)]["lpips"]) for i in range(4))
 
     def test_scene_edits_in_output_name(self, experiment):
         out = self._run(experiment,
@@ -366,7 +402,7 @@ class TestProgrammaticAPI:
         assert fvr.cfg.use_ray_bending
 
         rgbs, disps = fvr.render(fvr.poses[:2], fvr.frame_latents[:2])
-        assert rgbs.shape == (2, 10, 12, 3) and disps.shape == (2, 10, 12)
+        assert rgbs.shape == (2, 32, 36, 3) and disps.shape == (2, 32, 36)
         assert np.isfinite(rgbs).all()
 
         canon, _ = fvr.render(fvr.poses[:1], fvr.frame_latents[:1],

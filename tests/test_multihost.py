@@ -97,3 +97,22 @@ def test_two_processes_match_single_process(tmp_path):
     # both processes observe the identical replicated metrics
     np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
                                rtol=1e-6)
+
+
+def test_partial_coordinator_env_raises_clearly(monkeypatch):
+    """NRNERF_COORDINATOR without the rank/count variables must name the
+    missing variables instead of dying with a bare KeyError."""
+    from nonrigid_nerf_tpu.parallel import multihost
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.setenv("NRNERF_COORDINATOR", "localhost:1234")
+    monkeypatch.delenv("NRNERF_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("NRNERF_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError) as err:
+        multihost.maybe_initialize()
+    msg = str(err.value)
+    assert "NRNERF_NUM_PROCESSES" in msg and "NRNERF_PROCESS_ID" in msg
+
+    monkeypatch.setenv("NRNERF_NUM_PROCESSES", "2")
+    with pytest.raises(RuntimeError) as err:
+        multihost.maybe_initialize()
+    assert "NRNERF_PROCESS_ID is missing" in str(err.value)

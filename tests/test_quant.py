@@ -64,6 +64,16 @@ class TestInt8Kernel:
         p2 = qmlp.add_quant_scales(params, emb)
         assert set(p2["quant"]) == {"coarse", "fine"}
         assert params is not p2 and "quant" not in params
+        # the int8 weight tuple is prepacked at calibration time (not
+        # re-rounded inside the renderer's chunk loop)...
+        leaf = p2["quant"]["coarse"]
+        assert len(leaf["packed"]) == qmlp.N_QW + 1
+        packed = qmlp.packed_int8_weights(leaf, p2, "coarse", 10)
+        # ...and old checkpoint-era leaves holding only the (9,) scales
+        # array still resolve through on-the-fly packing
+        legacy = qmlp.packed_int8_weights(leaf["scales"], p2, "coarse", 10)
+        for a, b in zip(packed, legacy):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_quantize_for_inference_end_to_end_render(self, monkeypatch):
         """make_ray_renderer with fused_kernel='int8' matches the f32
