@@ -30,11 +30,11 @@ from nonrigid_nerf_tpu.models.bending import bend_points
 from nonrigid_nerf_tpu.ops.math import img2mse, safe_norm, safe_pow
 
 
-def loss_schedule_factor(step, n_iters: int):
+def loss_schedule_factor(step, n_iters: int, dtype=jnp.float32):
     """Increasing schedule (1/100)^(1 - step/N_iters)
     (reference: train.py:237-242)."""
-    frac = jnp.asarray(step, jnp.float32) / float(n_iters)
-    return jnp.power(0.01, 1.0 - frac)
+    frac = jnp.asarray(step, dtype) / float(n_iters)
+    return jnp.power(jnp.asarray(0.01, dtype), 1.0 - frac)
 
 
 def offsets_and_rigidity_loss(render_out, rigidity_loss_weight: float):
@@ -118,7 +118,7 @@ def per_ray_losses(key, params, cfg: ModelConfig, tc: TrainConfig,
     needs_bending_losses = cfg.use_ray_bending and (
         tc.offsets_loss_weight > 0.0 or tc.divergence_loss_weight > 0.0)
     if needs_bending_losses:
-        sched = loss_schedule_factor(step, tc.N_iters)
+        sched = loss_schedule_factor(step, tc.N_iters, img_loss.dtype)
         if tc.offsets_loss_weight > 0.0:
             off = offsets_and_rigidity_loss(render_out, tc.rigidity_loss_weight)
             loss = loss + tc.offsets_loss_weight * sched * off

@@ -114,7 +114,8 @@ def render_rays(params, cfg: ModelConfig, rs: RenderSettings,
         k_strat = k_noise0 = k_pdf = k_noise1 = None
 
     z_vals = stratified_z_vals(k_strat, rs.near, rs.far, R, rs.N_samples,
-                               lindisp=rs.lindisp, perturb=rs.perturb)
+                               lindisp=rs.lindisp, perturb=rs.perturb,
+                               dtype=rays_o.dtype)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
     # The deformation field + positional encoding (stage 1) is shared by the

