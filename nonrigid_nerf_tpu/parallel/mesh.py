@@ -60,12 +60,26 @@ def make_parallel_train_step(cfg: ModelConfig, tc: TrainConfig,
     optimizer = make_optimizer(tc)
 
     def _local_step(state: TrainState, ds: RayDataset, key):
-        # every device draws a DIFFERENT sub-batch: fold in the data index
         my_idx = jax.lax.axis_index(DATA_AXIS)
-        key = jax.random.fold_in(jax.random.fold_in(key, state.step), my_idx)
+        key = jax.random.fold_in(key, state.step)
         k_batch, k_render, k_loss = jax.random.split(key, 3)
 
-        batch = sample_ray_batch(k_batch, ds, local_rand)
+        # topology-invariant batch selection: every device samples the
+        # GLOBAL batch with the same key and slices its contiguous shard,
+        # so the pixels a training run sees — and hence its loss trajectory
+        # — do not depend on the mesh size or process topology (same seed,
+        # same run, any number of chips). Sampling n_rand indices is
+        # negligible next to the render. The k_batch derivation matches the
+        # single-device train_step exactly (engine/train_step.py).
+        gbatch = sample_ray_batch(k_batch, ds, n_rand)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(
+                x, my_idx * local_rand, local_rand, 0), gbatch)
+        # stratified jitter / density noise / divergence probes stay
+        # device-varying (iid per-ray draws; their realization legitimately
+        # differs by topology, like dataloader order)
+        k_render = jax.random.fold_in(k_render, my_idx)
+        k_loss = jax.random.fold_in(k_loss, my_idx)
         needs_detail = cfg.use_ray_bending and (
             tc.offsets_loss_weight > 0.0 or tc.divergence_loss_weight > 0.0)
 

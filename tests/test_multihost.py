@@ -56,7 +56,14 @@ def _reference_losses(data_dir):
     return losses
 
 
-def test_two_processes_match_single_process(tmp_path):
+@pytest.mark.parametrize("n_procs,devs_per_proc", [(2, 4), (4, 2)],
+                         ids=["2x4", "4x2"])
+def test_processes_match_single_process(tmp_path, n_procs, devs_per_proc):
+    """The same 8-device trajectory regardless of PROCESS topology: 1x8
+    (in-process reference), 2 processes x 4 devices, and 4 processes x 2
+    devices. With the topology-invariant batch sampling the pixel selection
+    is identical everywhere; only the cross-process psum association can
+    differ (f32 noise, hence the tolerance)."""
     from tests.test_data import write_synthetic_sequence
     data_dir = str(tmp_path / "data")
     os.makedirs(data_dir)
@@ -66,15 +73,15 @@ def test_two_processes_match_single_process(tmp_path):
 
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
+    outs = [str(tmp_path / f"out{i}.json") for i in range(n_procs)]
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port), "4",
-             data_dir, outs[i], str(N_STEPS)],
+            [sys.executable, worker, str(i), str(n_procs), str(port),
+             str(devs_per_proc), data_dir, outs[i], str(N_STEPS)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)]
+        for i in range(n_procs)]
     logs = []
     for p in procs:
         try:
@@ -94,9 +101,10 @@ def test_two_processes_match_single_process(tmp_path):
         # 8-way psum; everything else is device-local and identical
         np.testing.assert_allclose(r["losses"], ref, rtol=2e-5,
                                    err_msg=str(r))
-    # both processes observe the identical replicated metrics
-    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
-                               rtol=1e-6)
+    # all processes observe the identical replicated metrics
+    for r in results[1:]:
+        np.testing.assert_allclose(results[0]["losses"], r["losses"],
+                                   rtol=1e-6)
 
 
 def test_partial_coordinator_env_raises_clearly(monkeypatch):

@@ -68,17 +68,14 @@ class TestParallelTrainStep:
 
     @staticmethod
     def _union_batch(key, ds, n_dev, local_rand):
-        """Reconstruct every device's fold_in sub-batch exactly as
-        _local_step derives it (parallel/mesh.py: fold_in(fold_in(key, step),
-        axis_index) at step 0) and concatenate into the union batch."""
+        """The union of the device shards under the topology-invariant
+        sampling (parallel/mesh.py _local_step: every device samples the
+        GLOBAL batch with the shared step-folded key and slices its
+        contiguous shard) — i.e. simply the global batch, derived exactly
+        like the single-device train_step derives its own."""
         from nonrigid_nerf_tpu.data.dataset import sample_ray_batch
-        batches = []
-        for idx in range(n_dev):
-            k = jax.random.fold_in(jax.random.fold_in(key, 0), idx)
-            k_batch, _, _ = jax.random.split(k, 3)
-            batches.append(sample_ray_batch(k_batch, ds, local_rand))
-        return {f: jnp.concatenate([b[f] for b in batches])
-                for f in batches[0]}
+        k_batch, _, _ = jax.random.split(jax.random.fold_in(key, 0), 3)
+        return sample_ray_batch(k_batch, ds, n_dev * local_rand)
 
     @staticmethod
     def _union_vjp(state, ds, union, tc, rs):
@@ -294,3 +291,77 @@ class TestParallelRenderer:
             renderer=single_renderer, verbose=False)
         np.testing.assert_allclose(rgbs_mesh, rgbs_s, atol=1e-5)
         np.testing.assert_allclose(disps_mesh, disps_s, atol=1e-4)
+
+
+class TestDeviceCountInvariance:
+    """Topology invariance of the training trajectory (VERDICT r2 item 5).
+
+    The sharded step samples the GLOBAL batch on every device and slices a
+    contiguous shard (parallel/mesh.py _local_step), so with deterministic
+    render settings the multi-step loss trajectory and final parameters are
+    the same for ANY mesh size — and equal to the plain single-device
+    train_step, whose k_batch derivation it matches. The only cross-size
+    difference is the psum association order (f32 noise)."""
+
+    N_STEPS = 20
+
+    def _run(self, n_dev, ds, tc, rs):
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc,
+                                   ds.num_timesteps)
+        for net in ("coarse", "fine"):
+            state.params[net]["output"]["b"] = \
+                state.params[net]["output"]["b"].at[3].set(0.5)
+        key = jax.random.PRNGKey(3)
+        if n_dev == 0:   # the plain single-device engine step
+            step_fn = make_train_step(TINY, tc, rs, has_test_split=False,
+                                      donate=False)
+        else:
+            mesh = make_mesh(jax.devices()[:n_dev])
+            step_fn = make_parallel_train_step(TINY, tc, rs, mesh,
+                                               has_test_split=False,
+                                               donate=False)
+        losses = []
+        for _ in range(self.N_STEPS):
+            state, metrics = step_fn(state, ds, key)
+            losses.append(float(metrics["loss"]))
+        return np.asarray(losses), state.params
+
+    def test_trajectory_invariant_across_mesh_sizes(self, tmp_path):
+        ds = build_tiny_dataset(tmp_path)
+        tc = TrainConfig(N_rand=64, N_iters=100, lrate=5e-3,
+                         offsets_loss_weight=60.0, rigidity_loss_weight=5e-4)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                            perturb=0.0, raw_noise_std=0.0)
+
+        ref_losses, ref_params = self._run(1, ds, tc, rs)
+        assert np.all(np.isfinite(ref_losses))
+        for n_dev in (0, 2, 4, 8):
+            losses, params = self._run(n_dev, ds, tc, rs)
+            np.testing.assert_allclose(
+                losses, ref_losses, rtol=2e-4,
+                err_msg=f"loss trajectory diverged at n_dev={n_dev}")
+            for (path, a), (_, b) in zip(
+                    jax.tree_util.tree_flatten_with_path(params)[0],
+                    jax.tree_util.tree_flatten_with_path(ref_params)[0]):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+                    err_msg=f"n_dev={n_dev} {jax.tree_util.keystr(path)}")
+
+    def test_step0_batch_content_identical(self, tmp_path):
+        """The pixel selection itself is bitwise-identical across mesh
+        sizes: the union of device shards equals the global batch."""
+        from nonrigid_nerf_tpu.data.dataset import sample_ray_batch
+        ds = build_tiny_dataset(tmp_path)
+        key = jax.random.PRNGKey(3)
+        k_batch, _, _ = jax.random.split(jax.random.fold_in(key, 0), 3)
+        gbatch = sample_ray_batch(k_batch, ds, 64)
+        for n_dev in (2, 4, 8):
+            local = 64 // n_dev
+            shards = [jax.tree_util.tree_map(
+                lambda x: x[i * local:(i + 1) * local], gbatch)
+                for i in range(n_dev)]
+            union = {f: jnp.concatenate([s[f] for s in shards])
+                     for f in gbatch}
+            for f in gbatch:
+                np.testing.assert_array_equal(np.asarray(union[f]),
+                                              np.asarray(gbatch[f]), f)
