@@ -181,7 +181,7 @@ _INT_KEYS = {
     "train_block_size", "test_block_size", "N_samples", "N_importance",
     "i_embed", "multires", "multires_views", "render_factor",
     "precrop_iters", "factor", "i_print", "i_img", "i_weights", "i_testset",
-    "i_video", "lrate_decay", "profile_steps",
+    "i_video", "lrate_decay", "profile_steps", "die_at_step",
     "bending_depth", "bending_width", "rigidity_depth", "rigidity_width",
 }
 _FLOAT_KEYS = {
@@ -222,6 +222,10 @@ DEFAULTS = {
     # machine-readable metrics stream next to the console log
     "profile_steps": 0,
     "metrics_file": True,
+    # fault injection for crash-recovery testing: SIGKILL this process at
+    # the END of exactly this step (after any checkpoint written at it);
+    # 0 = off. A resumed run restarts past the step, so it fires once.
+    "die_at_step": 0,
     # persistent XLA compilation cache: cuts the first-step compile from
     # ~130s (cold) to ~12s on the TPU box; "" disables
     "compilation_cache_dir": "~/.cache/nonrigid_nerf_tpu/xla",

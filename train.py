@@ -361,6 +361,13 @@ def main_function(args: Args) -> None:
                 shutil.copyfile(path, os.path.join(logdir, "latest.npz"))
             print("Saved checkpoint at", path, flush=True)
 
+        if getattr(args, "die_at_step", 0) and i == args.die_at_step:
+            # fault injection (crash-recovery testing): die WITHOUT any
+            # cleanup, exactly like a preemption/OOM kill would
+            import signal
+            print(f"[FAULT-INJECTION] SIGKILL at step {i}", flush=True)
+            os.kill(os.getpid(), signal.SIGKILL)
+
         if i % args.i_video == 0 and i > 0 and len(render_poses) > 0 \
                 and len(i_test) > 0 and not extras["is_multiview"] and main:
             print("rendering video...", flush=True)
