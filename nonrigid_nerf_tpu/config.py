@@ -77,6 +77,11 @@ class ModelConfig:
     # "int8" (inference-only) runs the canonical MLP on the MXU's int8 path
     # with post-training-calibrated activation scales (ops/pallas/
     # quant_mlp.py); requires params["quant"] from quantize_for_inference().
+    # "pts" forces the kernel AND computes the Fourier encoding in VMEM
+    # (bent points cross HBM instead of the 63-ch encoding) — measured
+    # SLOWER than "auto" on v5e (118.6k vs 142.0k train rays/s; Mosaic's
+    # sin outweighs the narrower hop), kept as an opt-in for parts with
+    # tighter HBM bandwidth per FLOP.
     fused_kernel: str = "auto"
 
     def __post_init__(self):

@@ -70,14 +70,15 @@ def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
                 and supports_fused_query(cfg) and not cfg.use_viewdirs
                 and not cfg.time_conditioned_baseline
                 and not _edits_active(edit))
-    if not supports_fused_query(cfg) or _edits_active(edit):
-        if cfg.fused_kernel == "on":
+    if not supports_fused_query(cfg) or _edits_active(edit) or (
+            cfg.fused_kernel == "pts" and not _encode_in_kernel(cfg)):
+        if cfg.fused_kernel in ("on", "pts"):
             raise ValueError(
-                "fused_kernel='on' but the configuration (architecture, "
-                "viewdirs, or scene edits) is outside the kernel's support; "
-                "use fused_kernel='auto'")
+                f"fused_kernel={cfg.fused_kernel!r} but the configuration "
+                "(architecture, viewdirs, or scene edits) is outside the "
+                "kernel's support; use fused_kernel='auto'")
         return False
-    if cfg.fused_kernel == "on":
+    if cfg.fused_kernel in ("on", "pts"):
         return True
     return jax.default_backend() == "tpu"
 
@@ -128,9 +129,14 @@ def bend_encode_stage(params, cfg: ModelConfig, pts, latents,
         if detailed:
             details["input_pts"] = jax.lax.stop_gradient(pts)
 
-    embedded = _embed_pts(cfg, bent_pts)
-    if fused:
-        embedded = embedded.astype(jnp.bfloat16)
+    if fused and _encode_in_kernel(cfg):
+        # the MLP kernel encodes in VMEM (_mlpe_core): hand over the raw
+        # bent points instead of materializing the (.., 63) encoding in HBM
+        embedded = bent_pts
+    else:
+        embedded = _embed_pts(cfg, bent_pts)
+        if fused:
+            embedded = embedded.astype(jnp.bfloat16)
     return {"embedded": embedded, "bent_pts": bent_pts, "rigidity": rigidity,
             "latents_per_pt": latents_per_pt, "details": details}
 
@@ -151,8 +157,9 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
     embedded = stage1["embedded"]
     if fused:
         from nonrigid_nerf_tpu.ops.pallas.fused_query import (
-            MLP_FWD_BLOCK, VEMB, pack_mlp_weights, pad_lanes,
-            pack_viewdirs_mlp_weights, _mlp_core, _mlpv_core)
+            MLP_FWD_BLOCK, PTS_PAD, VEMB, pack_mlp_weights,
+            pack_mlp_pts_weights, pad_lanes, pack_viewdirs_mlp_weights,
+            _mlp_core, _mlpe_core, _mlpv_core)
         if cfg.time_conditioned_baseline:
             # the latent rides in the MLP input (reference:
             # run_nerf_helpers.py:207-209)
@@ -164,6 +171,16 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
         in_ch = embedded.shape[-1]
         block = MLP_FWD_BLOCK
         n_pad = -(-n // block) * block
+        if _encode_in_kernel(cfg):
+            # stage 1 handed over raw bent points (see bend_encode_stage);
+            # the kernel encodes them in VMEM
+            pts_flat = jnp.pad(
+                embedded.reshape(n, in_ch).astype(jnp.float32),
+                ((0, n_pad - n), (0, PTS_PAD - in_ch)))
+            mw = pack_mlp_pts_weights(params, network, cfg.multires)
+            raw = _mlpe_core(pts_flat, mw, block)
+            raw = raw[:n, :4].reshape(R, S, 4)
+            return _apply_removal_edit(raw, stage1["rigidity"], edit)
         emb_flat = jnp.pad(embedded.reshape(n, in_ch),
                            ((0, n_pad - n), (0, pad_lanes(in_ch) - in_ch)))
         if cfg.use_viewdirs:
@@ -191,7 +208,12 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
         raw = nerf_mlp_apply(params[network], cfg, embedded, embedded_views,
                              stage1["latents_per_pt"])
 
-    rigidity = stage1["rigidity"]
+    return _apply_removal_edit(raw, stage1["rigidity"], edit)
+
+
+def _apply_removal_edit(raw, rigidity, edit: EditConfig):
+    """Test-time foreground removal: zero density where rigidity >=
+    threshold (reference: run_nerf_helpers.py:309-311)."""
     if edit.nonrigid_object_removal_threshold is not None \
             and rigidity is not None:
         removal = rigidity[..., 0] >= edit.nonrigid_object_removal_threshold
@@ -202,6 +224,21 @@ def canonical_mlp_stage(params, cfg: ModelConfig, network: str, stage1,
 def use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
     """Public alias of the fused-path predicate for the renderer."""
     return _use_fused_kernel(cfg, edit)
+
+
+def _encode_in_kernel(cfg: ModelConfig) -> bool:
+    """Whether the fused path computes the Fourier encoding INSIDE the MLP
+    kernel (stage 1 hands over raw bent points, 16x narrower than the
+    encoding in both directions of the HBM hop).
+
+    OPT-IN (`fused_kernel="pts"`), and a measured NEGATIVE on v5e: despite
+    the narrower HBM hop, the in-VMEM encode is slower than XLA's —
+    training 118.6k vs 142.0k rays/s, kernel forward 4.35 ms vs 4.07 ms
+    per 196k pts including the XLA encode (see ROADMAP.md). Kept because
+    the balance shifts wherever HBM bandwidth per FLOP is tighter."""
+    return (cfg.fused_kernel == "pts" and not cfg.use_viewdirs
+            and not cfg.time_conditioned_baseline
+            and cfg.i_embed == 0 and cfg.multires == 10)
 
 
 def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,

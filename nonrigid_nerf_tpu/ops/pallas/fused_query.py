@@ -699,15 +699,13 @@ def _mlp_fwd_kernel(emb_ref, *rest):
     rest[N_MLP_W][:] = _mlp_fwd_math(emb_ref[:], w)
 
 
-def _mlp_bwd_kernel(emb_ref, *rest):
-    w = [r[:] for r in rest[:N_MLP_W]]
-    draw_ref = rest[N_MLP_W]
-    demb_ref = rest[N_MLP_W + 1]
-    dw_refs = rest[N_MLP_W + 2:]
+def _mlp_bwd_math(emb, w, draw):
+    """Shared reverse pass of the canonical chain (recompute-in-VMEM).
+    Returns (demb f32, per-weight gradient list in pack order)."""
     (n0w, n0b, n1w, n1b, n2w, n2b, n3w, n3b, n4w, n4b,
      n5e, n5h, n5b, n6w, n6b, n7w, n7b, ow, ob) = w
     bf16 = jnp.bfloat16
-    _, a = _mlp_fwd_math(emb_ref[:], w, return_acts=True)
+    _, a = _mlp_fwd_math(emb, w, return_acts=True)
 
     def mmT_nt(x, wt):
         return jax.lax.dot_general(
@@ -724,7 +722,6 @@ def _mlp_bwd_kernel(emb_ref, *rest):
     def bsum(g):
         return jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
 
-    draw = draw_ref[:]
     drawb = draw.astype(bf16)
     g_ow = mmT_tn(a["nh8"], drawb)
     g_ob = bsum(draw)
@@ -762,11 +759,17 @@ def _mlp_bwd_kernel(emb_ref, *rest):
            * (a["nh1"].astype(jnp.float32) > 0)).astype(bf16)
     g_n0w = mmT_tn(a["embb"], dh1)
     g_n0b = bsum(dh1)
-    demb_ref[:] = demb + mmT_nt(dh1, n0w)
+    demb = demb + mmT_nt(dh1, n0w)
 
     grads = [g_n0w, g_n0b, g_n1w, g_n1b, g_n2w, g_n2b, g_n3w, g_n3b,
              g_n4w, g_n4b, g_n5e, g_n5h, g_n5b, g_n6w, g_n6b, g_n7w, g_n7b,
              g_ow, g_ob]
+    return demb, grads
+
+
+def _accumulate_dw(dw_refs, grads):
+    """First grid step initializes the weight-grad accumulators, later
+    steps add into them."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -778,6 +781,16 @@ def _mlp_bwd_kernel(emb_ref, *rest):
     def _accum():
         for dw, g in zip(dw_refs, grads):
             dw[:] = dw[:] + g
+
+
+def _mlp_bwd_kernel(emb_ref, *rest):
+    w = [r[:] for r in rest[:N_MLP_W]]
+    draw_ref = rest[N_MLP_W]
+    demb_ref = rest[N_MLP_W + 1]
+    dw_refs = rest[N_MLP_W + 2:]
+    demb, grads = _mlp_bwd_math(emb_ref[:], w, draw_ref[:])
+    demb_ref[:] = demb
+    _accumulate_dw(dw_refs, grads)
 
 
 MLP_FWD_BLOCK = 4096   # forward working set is small (bf16 acts); large
@@ -842,6 +855,133 @@ def _mlp_core_bwd(block, residuals, draw):
 
 
 _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Encode-in-kernel variant: the kernel consumes BENT POINTS (n, PTS_PAD f32)
+# and computes the Fourier encoding in VMEM via the (P, phase)
+# sin-with-phase projection (_embed). Next to _mlp_core this removes the
+# widest HBM tensors of the hybrid path — the (n, EMB) bf16 embedding the
+# bend stage writes / the kernel reads on the forward, and the (n, EMB) f32
+# dembedding on the backward — replacing both with (n, PTS_PAD): 16x/16x
+# narrower. The bend/rigidity MLPs themselves stay in XLA (measured faster
+# there; ROADMAP.md negative results).
+# ---------------------------------------------------------------------------
+
+N_MLPE_W = N_MLP_W + 2   # + P (PTS_PAD, EMB) f32, phase (1, EMB) f32
+
+
+def pack_mlp_pts_weights(params, network: str = "coarse",
+                         multires: int = 10):
+    """pack_mlp_weights + the encoding projection, for `_mlpe_core`."""
+    P, phase = _embedding_projection(multires)
+    return pack_mlp_weights(params, network) + (
+        jnp.asarray(P), jnp.asarray(phase).reshape(1, EMB))
+
+
+def _cast_mlpe_weights(mw):
+    # keep P / phase f32: they feed the HIGHEST-precision encoding dot
+    return _cast_matmul_weights(mw, f32_only=(N_MLP_W, N_MLP_W + 1))
+
+
+def _embed_ew(pts, P, phase):
+    """_embed without the matmul: pre = sum_d pts[:, d:d+1] * P[d] — three
+    f32 broadcast-multiplies (exact: P entries are powers of two), cheaper
+    in Mosaic than a HIGHEST-precision dot."""
+    pre = (pts[:, 0:1] * P[0:1, :] + pts[:, 1:2] * P[1:2, :]
+           + pts[:, 2:3] * P[2:3, :])
+    lane = jax.lax.broadcasted_iota(jnp.int32, pre.shape, 1)
+    emb = jnp.where(lane < 3, pre, jnp.sin(pre + phase))
+    return pre, lane, emb
+
+
+def _mlpe_fwd_kernel(pts_ref, *rest):
+    w = [r[:] for r in rest[:N_MLPE_W]]
+    _, _, emb = _embed_ew(pts_ref[:], w[N_MLP_W], w[N_MLP_W + 1])
+    rest[N_MLPE_W][:] = _mlp_fwd_math(emb.astype(jnp.bfloat16),
+                                      w[:N_MLP_W])
+
+
+def _mlpe_bwd_kernel(pts_ref, *rest):
+    w = [r[:] for r in rest[:N_MLPE_W]]
+    draw_ref = rest[N_MLPE_W]
+    dpts_ref = rest[N_MLPE_W + 1]
+    dw_refs = rest[N_MLPE_W + 2:]
+    P, phase = w[N_MLP_W], w[N_MLP_W + 1]
+    pre, lane, emb = _embed_ew(pts_ref[:], P, phase)
+    demb, grads = _mlp_bwd_math(emb.astype(jnp.bfloat16), w[:N_MLP_W],
+                                draw_ref[:])
+    # d/dpre of where(lane<3, pre, sin(pre + phase)); then fold back onto
+    # the three point lanes (exact: P rows are powers of two + one-hots)
+    dpre = jnp.where(lane < 3, demb, demb * jnp.cos(pre + phase))
+    dpts = jnp.concatenate(
+        [jnp.sum(dpre * P[d:d + 1, :], axis=1, keepdims=True)
+         for d in range(3)]
+        + [jnp.zeros((dpre.shape[0], PTS_PAD - 3), jnp.float32)], axis=1)
+    dpts_ref[:] = dpts
+    _accumulate_dw(dw_refs, grads)
+
+
+def _mlpe_pallas_fwd(pts_pad, mwb, block):
+    n = pts_pad.shape[0]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mwb]
+    return pl.pallas_call(
+        _mlpe_fwd_kernel,
+        grid=(n // block,),
+        in_specs=[_io_spec(block, PTS_PAD)] + w_specs,
+        out_specs=_io_spec(block, OUT_PAD),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+    )(pts_pad, *mwb)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mlpe_core(pts_pad, mw, block):
+    """Canonical MLP over bent points (n, PTS_PAD) f32, encoding in VMEM.
+    mw from pack_mlp_pts_weights. Returns raw (n, OUT_PAD) f32."""
+    return _mlpe_pallas_fwd(pts_pad, _cast_mlpe_weights(mw), block)
+
+
+def _mlpe_core_fwd(pts_pad, mw, block):
+    out = _mlpe_pallas_fwd(pts_pad, _cast_mlpe_weights(mw), block)
+    return out, (pts_pad, mw)
+
+
+MLPE_BWD_BLOCK = 1024   # the encode recompute adds ~2 MB of f32
+                        # intermediates per 1024 pts; 2048 blew the 24 MB
+                        # scoped-VMEM budget (measured 30 MB)
+
+
+def _mlpe_core_bwd(block, residuals, draw):
+    pts_pad, mw = residuals
+    n = pts_pad.shape[0]
+    block = min(block, MLPE_BWD_BLOCK)
+    mlp_w = mw[:N_MLP_W]
+    dw_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM) for w in mlp_w]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in mlp_w]
+    mwb = _cast_mlpe_weights(mw)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in mwb]
+    out = pl.pallas_call(
+        _mlpe_bwd_kernel,
+        grid=(n // block,),
+        in_specs=([_io_spec(block, PTS_PAD)] + w_specs
+                  + [_io_spec(block, OUT_PAD)]),
+        out_specs=[_io_spec(block, PTS_PAD)] + dw_specs,
+        out_shape=([jax.ShapeDtypeStruct((n, PTS_PAD), jnp.float32)]
+                   + dw_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+    )(pts_pad, *mwb, draw)
+    dpts = out[0]
+    # P / phase are encoding constants — zero cotangent
+    dmw = tuple(out[1:]) + (jnp.zeros_like(mw[N_MLP_W]),
+                            jnp.zeros_like(mw[N_MLP_W + 1]))
+    return dpts, dmw
+
+
+_mlpe_core.defvjp(_mlpe_core_fwd, _mlpe_core_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -417,3 +417,104 @@ class TestSplitKernel:
         for a, b in zip(jax.tree_util.tree_leaves(g1),
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEncodeInKernel:
+    """The _mlpe_core variant (bent points in, encoding computed in VMEM)
+    must be active for the flagship config and match the embedding-input
+    kernel in value and gradient."""
+
+    def test_engine_path_hands_over_raw_points(self):
+        import dataclasses
+        from nonrigid_nerf_tpu.engine.query import (bend_encode_stage,
+                                                    _encode_in_kernel)
+        cfg_pts = dataclasses.replace(CFG, fused_kernel="pts")
+        assert _encode_in_kernel(cfg_pts)
+        # opt-in only: the default hybrid keeps the XLA encoding (the
+        # in-kernel encode measured SLOWER on v5e, see ROADMAP.md)
+        assert not _encode_in_kernel(CFG)
+        assert not _encode_in_kernel(
+            dataclasses.replace(cfg_pts, use_viewdirs=True))
+        params = make_params()
+        rng = np.random.RandomState(7)
+        pts = jnp.asarray(rng.randn(4, 8, 3).astype(np.float32))
+        lat = jnp.asarray(0.1 * rng.randn(4, 32).astype(np.float32))
+        st = bend_encode_stage(params, cfg_pts, pts, lat, fused=True)
+        # raw bent points, not the 63-channel encoding
+        assert st["embedded"].shape == (4, 8, 3)
+        np.testing.assert_array_equal(np.asarray(st["embedded"]),
+                                      np.asarray(st["bent_pts"]))
+        st_xla = bend_encode_stage(params, CFG, pts, lat, fused=True)
+        assert st_xla["embedded"].shape == (4, 8, 63)
+
+    def test_query_points_pts_mode_matches_xla(self):
+        import dataclasses
+        from nonrigid_nerf_tpu.engine.query import query_points
+        params = make_params()
+        rng = np.random.RandomState(11)
+        pts = jnp.asarray(rng.randn(8, 16, 3).astype(np.float32))
+        lat = jnp.asarray(0.1 * rng.randn(8, 32).astype(np.float32))
+        raw_p = query_points(
+            params, dataclasses.replace(CFG, fused_kernel="pts"), pts,
+            None, lat)
+        raw_x = query_points(
+            params, dataclasses.replace(CFG, fused_kernel="off"), pts,
+            None, lat)
+        err = np.abs(np.asarray(raw_p) - np.asarray(raw_x))
+        scale = np.abs(np.asarray(raw_x)).mean() + 1e-9
+        assert err.mean() / scale < 0.02, err.mean() / scale
+
+    def test_matches_embedding_kernel_forward(self):
+        params = make_params()
+        rng = np.random.RandomState(8)
+        n = 512
+        bent = rng.randn(n, 3).astype(np.float32)
+        pts_pad = jnp.zeros((n, fq.PTS_PAD)).at[:, :3].set(bent)
+        emb = fourier_embed(jnp.asarray(bent), 10)
+        emb_pad = jnp.pad(emb, ((0, 0), (0, 1))).astype(jnp.bfloat16)
+
+        raw_e = fq._mlpe_core(pts_pad,
+                              fq.pack_mlp_pts_weights(params), 256)
+        raw_m = fq._mlp_core(emb_pad, fq.pack_mlp_weights(params), 256)
+        # same math; only the f32-vs-bf16 rounding point of the embedding
+        # differs (kernel encodes f32 then casts, XLA path pre-casts)
+        np.testing.assert_allclose(np.asarray(raw_e[:, :4]),
+                                   np.asarray(raw_m[:, :4]),
+                                   atol=2e-2, rtol=1e-3)
+        # and against the full-f32 XLA reference
+        raw_x = nerf_mlp_apply(params["coarse"], CFG, emb)
+        err = np.abs(np.asarray(raw_e[:, :4]) - np.asarray(raw_x))
+        scale = np.abs(np.asarray(raw_x)).mean() + 1e-9
+        assert err.mean() / scale < 0.02
+
+    def test_vjp_matches_autodiff_of_same_math(self):
+        """Handwritten backward (encode recompute + demb->dpts fold) vs
+        jax.grad of the kernel's own forward expression."""
+        params = make_params()
+        mw = fq.pack_mlp_pts_weights(params)
+        rng = np.random.RandomState(9)
+        n = 512
+        pts_pad = jnp.zeros((n, fq.PTS_PAD)).at[:, :3].set(
+            rng.randn(n, 3).astype(np.float32))
+
+        def fwd_math(pts_pad, mw):
+            _, _, emb = fq._embed_ew(pts_pad, mw[fq.N_MLP_W],
+                                     mw[fq.N_MLP_W + 1])
+            raw = fq._mlp_fwd_math(emb.astype(jnp.bfloat16),
+                                   list(mw[:fq.N_MLP_W]))
+            return jnp.mean(raw ** 2)
+
+        def fwd_pallas(pts_pad, mw):
+            return jnp.mean(fq._mlpe_core(pts_pad, mw, 256) ** 2)
+
+        gt = jax.grad(fwd_math, argnums=(0, 1))(pts_pad, mw)
+        gp = jax.grad(fwd_pallas, argnums=(0, 1))(pts_pad, mw)
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gt[0]),
+                                   atol=2e-5)
+        for i, (a, b) in enumerate(zip(gt[1], gp[1])):
+            if i >= fq.N_MLP_W:    # P / phase constants -> kernel returns 0
+                np.testing.assert_array_equal(np.asarray(b), 0.0)
+                continue
+            tol = max(5e-4, 5e-3 * float(jnp.abs(a).max()))
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=tol, err_msg=f"weight grad {i}")
