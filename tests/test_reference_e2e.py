@@ -170,11 +170,20 @@ def reference_step(ref_train, rk_train, latents, args, start):
                 g["b"] = linear.bias.grad.detach().numpy()
             return g
 
+        def net_grads(net):
+            out = {"pts": [lin_grad(l) for l in net.pts_linears]}
+            if net.use_viewdirs:
+                out.update(feature=lin_grad(net.feature_linear),
+                           alpha=lin_grad(net.alpha_linear),
+                           views=[lin_grad(l) for l in net.views_linears],
+                           rgb=lin_grad(net.rgb_linear))
+            else:
+                out["output"] = lin_grad(net.output_linear)
+            return out
+
         grads = {
-            "coarse": {"pts": [lin_grad(l) for l in coarse.pts_linears],
-                       "output": lin_grad(coarse.output_linear)},
-            "fine": {"pts": [lin_grad(l) for l in fine.pts_linears],
-                     "output": lin_grad(fine.output_linear)},
+            "coarse": net_grads(coarse),
+            "fine": net_grads(fine),
             "latents": np.stack(
                 [np.zeros(LATENT, np.float32) if l.grad is None
                  else l.grad.detach().numpy() for l in latents]),
@@ -193,11 +202,21 @@ def params_from_reference(rk_train, latents):
     import jax.numpy as jnp
     coarse, fine = rk_train["network_fn"], rk_train["network_fine"]
     bender = rk_train["ray_bender"]
+
+    def net_params(net):
+        out = {"pts": [conv(l) for l in net.pts_linears]}
+        if net.use_viewdirs:
+            out.update(feature=conv(net.feature_linear),
+                       alpha=conv(net.alpha_linear),
+                       views=[conv(l) for l in net.views_linears],
+                       rgb=conv(net.rgb_linear))
+        else:
+            out["output"] = conv(net.output_linear)
+        return out
+
     params = {
-        "coarse": {"pts": [conv(l) for l in coarse.pts_linears],
-                   "output": conv(coarse.output_linear)},
-        "fine": {"pts": [conv(l) for l in fine.pts_linears],
-                 "output": conv(fine.output_linear)},
+        "coarse": net_params(coarse),
+        "fine": net_params(fine),
         "latents": jnp.asarray(
             np.stack([l.detach().numpy() for l in latents])),
     }
@@ -456,3 +475,70 @@ class TestOneStepTrainParityNoBending:
         assert_tree_close(grads, ref_grads,
                           rtol=TOL["float32"]["grad_rtol"],
                           atol=TOL["float32"]["grad_atol"])
+
+
+@requires_reference
+class TestOneStepTrainParityViewdirs:
+    """The same full-composition closure for the view-direction modes:
+    approx (finite-difference nonrigid dirs) and exact (bending-Jacobian
+    dirs). approx runs in f32 and f64; exact runs in f32 only — the
+    reference normalizes as `d/|d| + eps` (a literal quirk at
+    run_nerf_helpers.py:378-381) while we compute `d/(|d|+eps)` (a
+    documented deviation, PARITY.md), which shows up at ~1e-5 relative and
+    would dominate an f64 comparison."""
+
+    @pytest.fixture(scope="class",
+                    params=[("approx", "float32"), ("approx", "float64"),
+                            ("exact", "float32")],
+                    ids=["approx-f32", "approx-f64", "exact-f32"])
+    def ref_side(self, request, ref_train, tmp_path_factory):
+        mode, dtype = request.param
+        with torch_default_dtype(getattr(torch, dtype)):
+            args = make_ref_args(
+                tmp_path_factory.mktemp("ref_e2e_vd"), use_viewdirs=True,
+                approx_nonrigid_viewdirs=(mode == "approx"))
+            rk_train, latents, start = build_reference(ref_train, args)
+            losses, grads = reference_step(ref_train, rk_train, latents,
+                                           args, start)
+        return mode, dtype, losses, grads, rk_train, latents
+
+    def _patch_cfgs(self, mode, dtype, monkeypatch):
+        import dataclasses
+        base = jax_configs
+
+        def cfgs():
+            cfg, rs, tc = base()
+            cfg = dataclasses.replace(
+                cfg, use_viewdirs=True,
+                approx_nonrigid_viewdirs=(mode == "approx"),
+                compute_dtype=dtype)
+            return cfg, rs, tc
+
+        monkeypatch.setattr(sys.modules[__name__], "jax_configs", cfgs)
+
+    def test_losses_and_all_gradient_leaves_match(self, ref_side,
+                                                  monkeypatch):
+        mode, dtype, ref_losses, ref_grads, rk_train, latents = ref_side
+        self._patch_cfgs(mode, dtype, monkeypatch)
+        exact_divergence(monkeypatch)
+        tol = dict(TOL[dtype])
+        if mode == "exact":
+            # the documented normalization deviation (see class docstring)
+            tol["loss_rtol"] = max(tol["loss_rtol"], 5e-4)
+            tol["grad_rtol"] = max(tol["grad_rtol"], 2e-2)
+        elif dtype == "float64":
+            # FD viewdirs normalize differences of consecutive fine
+            # samples, whose positions already carry the 1/pdf-amplified
+            # backend rounding (see TOL) — near-duplicate samples amplify
+            # it again (measured worst leaf ~1.2e-3 normwise)
+            tol["grad_rtol"] = max(tol["grad_rtol"], 5e-3)
+        with jax_dtype_context(dtype):
+            params = params_from_reference(rk_train, latents)
+            _, _, target, image_ids = make_batch()
+            got, aux = jax_per_ray_losses(params, image_ids, target)
+            np.testing.assert_allclose(got, ref_losses,
+                                       rtol=tol["loss_rtol"], atol=0)
+            grads, _ = jax_step_grads(params, monkeypatch)
+        assert set(grads.keys()) == set(ref_grads.keys())
+        assert_tree_close(grads, ref_grads, rtol=tol["grad_rtol"],
+                          atol=tol["grad_atol"])
