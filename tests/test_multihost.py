@@ -85,7 +85,10 @@ def test_processes_match_single_process(tmp_path, n_procs, devs_per_proc):
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            # generous: 4 concurrent worker compiles under a fully loaded
+            # host (the whole suite + a training run) have been observed
+            # to exceed 420s
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
