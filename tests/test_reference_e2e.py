@@ -158,7 +158,15 @@ def reference_step(ref_train, rk_train, latents, args, start):
         net_params = (list(coarse.parameters())
                       + list([] if fine is None else fine.parameters())
                       + list([] if bender is None else bender.parameters()))
-        if bender is not None and torch.sum(test_ind) > 0:
+        # the reference gates the test-latent phase on `ray_bender is not
+        # None` (train.py:1594), so in time_conditioned_baseline mode its
+        # test latents NEVER receive gradients (test-set renders would use
+        # untrained latents). Ours trains them — a documented deviation
+        # (PARITY.md) — so the harness enables the phase for the baseline
+        # too, verifying the gradient MATH against the reference.
+        two_phase = bender is not None or getattr(
+            args, "time_conditioned_baseline", False)
+        if two_phase and torch.sum(test_ind) > 0:
             (test_ind * losses).mean().backward(retain_graph=True)
             for w in net_params:
                 w.grad = None
@@ -542,3 +550,48 @@ class TestOneStepTrainParityViewdirs:
         assert set(grads.keys()) == set(ref_grads.keys())
         assert_tree_close(grads, ref_grads, rtol=tol["grad_rtol"],
                           atol=tol["grad_atol"])
+
+
+@requires_reference
+class TestOneStepTrainParityBaseline:
+    """Same closure for the time-conditioned naive baseline
+    (reference run_nerf_helpers.py:207-209, 273-282): the latent is
+    concatenated into the canonical MLP input (also at the skip), no
+    bender, no regularizers — but the latent TABLE trains through the
+    input path."""
+
+    @pytest.fixture(scope="class")
+    def ref_side(self, ref_train, tmp_path_factory):
+        args = make_ref_args(
+            tmp_path_factory.mktemp("ref_e2e_tc"), ray_bending=None,
+            time_conditioned_baseline=True, offsets_loss_weight=0.0,
+            divergence_loss_weight=0.0, rigidity_loss_weight=0.0)
+        rk_train, latents, start = build_reference(ref_train, args)
+        losses, grads = reference_step(ref_train, rk_train, latents, args,
+                                       start)
+        params = params_from_reference(rk_train, latents)
+        return losses, grads, params
+
+    def test_losses_and_grads_match(self, ref_side, monkeypatch):
+        import dataclasses
+        ref_losses, ref_grads, params = ref_side
+        base = jax_configs
+
+        def tc_cfgs():
+            cfg, rs, tc = base()
+            cfg = dataclasses.replace(cfg, ray_bending=None,
+                                      time_conditioned_baseline=True)
+            tc = dataclasses.replace(tc, offsets_loss_weight=0.0,
+                                     divergence_loss_weight=0.0,
+                                     rigidity_loss_weight=0.0)
+            return cfg, rs, tc
+
+        monkeypatch.setattr(sys.modules[__name__], "jax_configs", tc_cfgs)
+        got, _ = jax_per_ray_losses(params, make_batch()[3], None)
+        np.testing.assert_allclose(got, ref_losses, rtol=2e-4, atol=1e-6)
+        grads, _ = jax_step_grads(params, monkeypatch)
+        # the latent table TRAINS in this mode (through the MLP input)
+        assert np.abs(grads["latents"]).max() > 0
+        assert_tree_close(grads, ref_grads,
+                          rtol=TOL["float32"]["grad_rtol"],
+                          atol=TOL["float32"]["grad_atol"])
