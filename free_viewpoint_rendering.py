@@ -180,6 +180,17 @@ def free_viewpoint_rendering(fvr_args):
         nonrigid_object_removal_threshold=fvr_args.foreground_removal,
         render_canonical=fvr_args.render_canonical)
 
+    from nonrigid_nerf_tpu.engine.query import edits_active
+    if cfg.fused_kernel in ("on", "pts") and edits_active(edit):
+        # a FORCED kernel mode in the experiment's args.txt would make the
+        # engine refuse scene edits outright; a render-time user never
+        # chose that failure mode, so degrade to the auto policy
+        import dataclasses
+        print(f"fused_kernel={cfg.fused_kernel!r} (from the experiment's "
+              "args.txt) does not support scene edits; rendering with "
+              "fused_kernel='auto'", flush=True)
+        cfg = dataclasses.replace(cfg, fused_kernel="auto")
+
     if fvr_args.quantize_inference and (
             getattr(args, "use_viewdirs", False)
             or getattr(args, "time_conditioned_baseline", False)):
@@ -197,9 +208,9 @@ def free_viewpoint_rendering(fvr_args):
         cfg_int8 = dataclasses.replace(cfg, fused_kernel="int8")
         if not use_fused_kernel(cfg_int8, edit):
             print("--quantize_inference: the int8 kernel does not run for "
-                  "this configuration (scene edits active, or backend is "
-                  "not TPU); rendering with the default f32 path",
-                  flush=True)
+                  "this configuration (scene edits active, a non-default "
+                  "MLP architecture, or backend is not TPU); rendering "
+                  "with the default f32 path", flush=True)
             fvr_args.quantize_inference = False
 
     # output folder name encodes path + edits
@@ -509,10 +520,17 @@ def free_viewpoint_rendering(fvr_args):
             "lpips_available": not lpips_missing,
         }
         if lpips_missing:
-            print("LPIPS weights not found; lpips is reported as null "
-                  "(lpips_available: false). Generate data/lpips_alex.npz "
-                  "once with tools/convert_lpips_weights.py (or pip install "
-                  "lpips) for real values.")
+            from nonrigid_nerf_tpu.utils.lpips_jax import lpips_available
+            if lpips_available():
+                print("LPIPS weights are installed but the evaluation "
+                      "images are too small for the AlexNet trunk (~31 px "
+                      "per side minimum); lpips is reported as null.")
+            else:
+                print("LPIPS weights not found; lpips is reported as null "
+                      "(lpips_available: false). Generate "
+                      "data/lpips_alex.npz once with "
+                      "tools/convert_lpips_weights.py (or pip install "
+                      "lpips) for real values.")
         print(averaged, flush=True)
         scores.update(averaged)
         with open(os.path.join(output_folder, "scores.json"), "w") as f:

@@ -229,7 +229,8 @@ DEFAULTS = {
     "metrics_file": True,
     # fault injection for crash-recovery testing: SIGKILL this process at
     # the END of exactly this step (after any checkpoint written at it);
-    # 0 = off. A resumed run restarts past the step, so it fires once.
+    # 0 = off. Fires only in a fresh (step-0) run — resumed runs never
+    # re-die, even when the step is not checkpoint-aligned.
     "die_at_step": 0,
     # persistent XLA compilation cache: cuts the first-step compile from
     # ~130s (cold) to ~12s on the TPU box; "" disables

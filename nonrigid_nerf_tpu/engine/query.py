@@ -226,6 +226,11 @@ def use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
     return _use_fused_kernel(cfg, edit)
 
 
+def edits_active(edit: EditConfig) -> bool:
+    """Public alias: whether any test-time scene edit is requested."""
+    return _edits_active(edit)
+
+
 def _encode_in_kernel(cfg: ModelConfig) -> bool:
     """Whether the fused path computes the Fourier encoding INSIDE the MLP
     kernel (stage 1 hands over raw bent points, 16x narrower than the

@@ -361,9 +361,13 @@ def main_function(args: Args) -> None:
                 shutil.copyfile(path, os.path.join(logdir, "latest.npz"))
             print("Saved checkpoint at", path, flush=True)
 
-        if getattr(args, "die_at_step", 0) and i == args.die_at_step:
+        if getattr(args, "die_at_step", 0) and i == args.die_at_step \
+                and start == 0:
             # fault injection (crash-recovery testing): die WITHOUT any
-            # cleanup, exactly like a preemption/OOM kill would
+            # cleanup, exactly like a preemption/OOM kill would. Only a
+            # FRESH run fires — a resumed run passing the step again (when
+            # die_at_step isn't checkpoint-aligned) must not re-die, or the
+            # experiment could never complete.
             import signal
             print(f"[FAULT-INJECTION] SIGKILL at step {i}", flush=True)
             os.kill(os.getpid(), signal.SIGKILL)
