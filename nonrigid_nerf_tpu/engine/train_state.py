@@ -26,15 +26,22 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(tc: TrainConfig):
-    """Exponential decay with the reference's warmup divisor
-    (reference: train.py:1631-1643): lr = lrate * 0.1^(step/decay), and for
-    step < warmup, divided by 20*(warmup-step)/warmup + 1."""
+    """Exponential decay with the reference's warmup divisor, reproducing
+    the reference's exact step alignment (reference: train.py:1631-1643):
+    the LR update runs AFTER optimizer.step() with the pre-increment
+    global_step, so optimizer step k uses the value computed at k-1 —
+    and step 0 runs at the RAW lrate, escaping the warmup divisor
+    entirely. lr(k) = lrate for k == 0, else with g = k-1:
+    lrate * 0.1^(g/decay), divided by 20*(warmup-g)/warmup + 1 while
+    g < warmup."""
     def schedule(count):
-        step = jnp.asarray(count, jnp.float32)
-        lr = tc.lrate * jnp.power(0.1, step / float(tc.lrate_decay))
+        g = jnp.maximum(jnp.asarray(count, jnp.float32) - 1.0, 0.0)
+        lr = tc.lrate * jnp.power(0.1, g / float(tc.lrate_decay))
         warm = float(tc.warmup_steps)
-        divisor = 20.0 * (warm - step) / warm + 1.0
-        return jnp.where(step < warm, lr / divisor, lr)
+        divisor = 20.0 * (warm - g) / warm + 1.0
+        lr = jnp.where(g < warm, lr / divisor, lr)
+        return jnp.where(jnp.asarray(count, jnp.float32) < 1.0,
+                         jnp.asarray(tc.lrate, jnp.float32), lr)
     return schedule
 
 

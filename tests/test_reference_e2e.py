@@ -92,7 +92,8 @@ def make_ref_args(tmp_path, **overrides):
         N_importance=16, netdepth=8, netwidth=256, netdepth_fine=8,
         netwidth_fine=256, perturb=0.0, raw_noise_std=0.0, lrate=5e-4,
         rootdir=str(tmp_path), expname="ref_e2e", ft_path=None,
-        no_reload=False, chunk=4096, N_iters=200000, N_rand=R)
+        no_reload=False, chunk=4096, N_iters=200000, N_rand=R,
+        lrate_decay=250000)
     for k, v in overrides.items():
         setattr(args, k, v)
     os.makedirs(os.path.join(args.rootdir, args.expname, "logs"),
@@ -595,3 +596,154 @@ class TestOneStepTrainParityBaseline:
         assert_tree_close(grads, ref_grads,
                           rtol=TOL["float32"]["grad_rtol"],
                           atol=TOL["float32"]["grad_atol"])
+
+
+@requires_reference
+class TestMultiStepAdamTrajectory:
+    """Three full optimization steps vs the reference: torch Adam + the
+    per-step LR decay/warmup formula (reference train.py:1631-1643) against
+    the production jitted step with its optax schedule. Same fixed batch
+    every step (batch CONTENT parity is separate); f64 so remaining
+    differences are provably fp noise. This extends the one-step gradient
+    parity to the full optimizer loop: moments, bias correction, warmup
+    divisor, schedule."""
+
+    N_OPT_STEPS = 3
+
+    def test_params_after_three_steps_match(self, ref_train, tmp_path,
+                                            monkeypatch):
+        import dataclasses
+        with torch_default_dtype(torch.float64):
+            args = make_ref_args(tmp_path)
+            torch.manual_seed(0)
+            latents = [(0.1 * torch.randn(LATENT)).clone().requires_grad_()
+                       for _ in range(T)]
+            (rk_train, _, start, grad_vars,
+             optimizer) = ref_train.create_nerf(args, latents,
+                                                ignore_optimizer=False)
+            rk_train.update({"near": NEAR, "far": FAR})
+            bender = rk_train["ray_bender"]
+            with torch.no_grad():
+                bender.network[-1].weight.normal_(0, 0.05)
+                bender.rigidity_network[-1].weight.normal_(0, 0.5)
+                bender.rigidity_network[-1].bias.normal_(0, 0.5)
+
+            import run_nerf_helpers as ref_helpers
+            monkeypatch.setattr(ref_helpers, "divergence_approx",
+                                ref_helpers.divergence_exact)
+
+            with jax_dtype_context("float64"):
+                import jax as _jax
+                # FORCE copies: on CPU jnp.asarray can alias the torch
+                # storage through .detach().numpy(), and the torch loop
+                # below mutates the weights in place
+                params0 = _jax.tree_util.tree_map(
+                    lambda x: np.array(x, copy=True),
+                    params_from_reference(rk_train, latents))
+
+            rays_o, rays_d, target, image_ids = make_batch()
+            pix = torch.tensor(
+                np.stack([image_ids, np.zeros(R), np.zeros(R)], -1),
+                dtype=torch.long)
+            wrapper = ref_train.training_wrapper_class(
+                rk_train["network_fn"], latents,
+                fine_model=rk_train["network_fine"], ray_bender=bender)
+            train_ind = torch.tensor(
+                1.0 - (image_ids == T - 1).astype(np.float64))
+            test_ind = 1.0 - train_ind
+
+            for global_step in range(self.N_OPT_STEPS):
+                optimizer.zero_grad()
+                for latent in latents:
+                    latent.grad = None
+                losses = wrapper(
+                    args, torch.tensor(rays_o, dtype=torch.float64),
+                    torch.tensor(rays_d, dtype=torch.float64), 100,
+                    rk_train, torch.tensor(target, dtype=torch.float64),
+                    global_step, start,
+                    {"imageid_to_timestepid": list(range(T))}, pix)
+                if torch.sum(test_ind) > 0:
+                    (test_ind * losses).mean().backward(retain_graph=True)
+                    for w in (list(rk_train["network_fn"].parameters())
+                              + list(rk_train["network_fine"].parameters())
+                              + list(bender.parameters())):
+                        w.grad = None
+                (train_ind * losses).mean().backward()
+                optimizer.step()
+                # the reference's LR schedule runs AFTER the step
+                # (train.py:1631-1643), so step k uses the lr set at k-1
+                decay_rate, warming_up = 0.1, 1000
+                new_lrate = args.lrate * (
+                    decay_rate ** ((global_step + 1) / args.lrate_decay))
+                if global_step + 1 < warming_up:
+                    new_lrate /= (20.0 * (-(global_step + 1 - warming_up)
+                                          / warming_up) + 1.0)
+                for group in optimizer.param_groups:
+                    group["lr"] = new_lrate
+
+        # ours: the production jitted step, N_OPT_STEPS times
+        base = jax_configs
+        monkeypatch.setattr(
+            sys.modules[__name__], "jax_configs",
+            lambda: (dataclasses.replace(base()[0],
+                                         compute_dtype="float64"),
+                     base()[1], base()[2]))
+        exact_divergence(monkeypatch)
+        with jax_dtype_context("float64"):
+            import jax
+            import jax.numpy as jnp
+            import optax
+            from nonrigid_nerf_tpu.engine import train_step as ts_mod
+            from nonrigid_nerf_tpu.engine.train_state import (TrainState,
+                                                              make_optimizer)
+            cfg, rs, tc = jax_configs()
+            # the reference initializes lr to args.lrate and applies the
+            # formula only after each step; our schedule must be evaluated
+            # at the same points -> same tc defaults (lrate 5e-4,
+            # warmup 1000, decay 250000 match make_ref_args)
+            dt = params0["coarse"]["pts"][0]["w"].dtype
+            test_np = (image_ids == T - 1).astype(np.float64)
+            batch = {
+                "rays_o": jnp.asarray(rays_o, dt),
+                "rays_d": jnp.asarray(rays_d, dt),
+                "target_rgb": jnp.asarray(target, dt),
+                "image_ids": jnp.asarray(image_ids),
+                "timestep_ids": jnp.asarray(image_ids),
+                "train_indicator": jnp.asarray(1.0 - test_np),
+                "test_indicator": jnp.asarray(test_np),
+            }
+            monkeypatch.setattr(ts_mod, "sample_ray_batch",
+                                lambda key, ds, n_rand: batch)
+            optimizer = make_optimizer(
+                dataclasses.replace(tc, lrate=5e-4, lrate_decay=250000))
+            state = TrainState(params=params0,
+                               opt_state=optimizer.init(params0),
+                               step=jnp.asarray(0, jnp.int32))
+            step_fn = jax.jit(functools.partial(
+                ts_mod.train_step, cfg=cfg, tc=tc, rs=rs,
+                optimizer=optimizer, has_test_split=True, n_rand=R))
+            for _ in range(self.N_OPT_STEPS):
+                state, metrics = step_fn(state, None, jax.random.PRNGKey(7))
+
+        with jax_dtype_context("float64"):
+            ref_params = jax.tree_util.tree_map(
+                lambda x: np.array(x, copy=True),
+                params_from_reference(rk_train, latents))
+        # compare the PARAMETER DELTAS (the params themselves are O(1)
+        # while three Adam steps move them by ~3*lr)
+        import jax
+        for (path, a0), (_, a1), (_, b1) in zip(
+                jax.tree_util.tree_flatten_with_path(params0)[0],
+                jax.tree_util.tree_flatten_with_path(state.params)[0],
+                jax.tree_util.tree_flatten_with_path(ref_params)[0]):
+            da = np.asarray(a1) - np.asarray(a0)
+            db = np.asarray(b1) - np.asarray(a0)
+            diff = np.linalg.norm(da - db)
+            ref = np.linalg.norm(db)
+            # Adam normalizes each update by sqrt(v)+eps, so leaves whose
+            # gradients sit at the fp-noise floor (the rigidity net; see
+            # TOL) get sign-like updates where that noise is amplified to
+            # ~1e-4 of the delta; 5e-4 still pins the full optimizer loop
+            assert diff <= 5e-4 * ref + 1e-12, (
+                f"{jax.tree_util.keystr(path)}: |d_ours-d_ref|={diff:.3e} "
+                f"|d_ref|={ref:.3e}")

@@ -42,13 +42,18 @@ class TestLrSchedule:
     def test_matches_reference_formula(self):
         tc = TrainConfig(lrate=5e-4, lrate_decay=250000, warmup_steps=1000)
         sched = lr_schedule(tc)
-        # at step 0: lr / (20 * 1 + 1)
-        np.testing.assert_allclose(float(sched(0)), 5e-4 / 21.0, rtol=1e-6)
-        # at warmup end: full lr (* tiny decay)
+        # the reference updates the LR AFTER optimizer.step()
+        # (train.py:1631-1643), so optimizer step k runs at the value
+        # computed for k-1 — and step 0 runs at the raw lrate, never
+        # seeing the warmup divisor
+        np.testing.assert_allclose(float(sched(0)), 5e-4, rtol=1e-6)
+        # step 1 uses the value computed after step 0: lr / (20 * 1 + 1)
+        np.testing.assert_allclose(float(sched(1)), 5e-4 / 21.0, rtol=1e-6)
+        # one past warmup end: full lr (* tiny decay at g = 1000)
         expected = 5e-4 * 0.1 ** (1000 / 250000)
-        np.testing.assert_allclose(float(sched(1000)), expected, rtol=1e-6)
-        # deep decay
-        np.testing.assert_allclose(float(sched(250000)), 5e-5, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(1001)), expected, rtol=1e-6)
+        # deep decay (off-by-one is negligible here)
+        np.testing.assert_allclose(float(sched(250000)), 5e-5, rtol=1e-4)
 
 
 class TestTrainStep:
