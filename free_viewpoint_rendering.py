@@ -180,7 +180,12 @@ def free_viewpoint_rendering(fvr_args):
         nonrigid_object_removal_threshold=fvr_args.foreground_removal,
         render_canonical=fvr_args.render_canonical)
 
-    from nonrigid_nerf_tpu.engine.query import edits_active
+    try:
+        from nonrigid_nerf_tpu.engine.query import edits_active
+    except ImportError:
+        # the experiment's backup/ snapshot predates the public name
+        from nonrigid_nerf_tpu.engine.query import (
+            _edits_active as edits_active)
     if cfg.fused_kernel in ("on", "pts") and edits_active(edit):
         # a FORCED kernel mode in the experiment's args.txt would make the
         # engine refuse scene edits outright; a render-time user never
