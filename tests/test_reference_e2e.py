@@ -670,13 +670,14 @@ class TestMultiStepAdamTrajectory:
                         w.grad = None
                 (train_ind * losses).mean().backward()
                 optimizer.step()
-                # the reference's LR schedule runs AFTER the step
-                # (train.py:1631-1643), so step k uses the lr set at k-1
+                # the reference's LR update runs AFTER the step with the
+                # PRE-increment global_step (train.py:1631-1643; += 1 at
+                # :1952), so step k+1 runs at the value computed from k
                 decay_rate, warming_up = 0.1, 1000
                 new_lrate = args.lrate * (
-                    decay_rate ** ((global_step + 1) / args.lrate_decay))
-                if global_step + 1 < warming_up:
-                    new_lrate /= (20.0 * (-(global_step + 1 - warming_up)
+                    decay_rate ** (global_step / args.lrate_decay))
+                if global_step < warming_up:
+                    new_lrate /= (20.0 * (-(global_step - warming_up)
                                           / warming_up) + 1.0)
                 for group in optimizer.param_groups:
                     group["lr"] = new_lrate

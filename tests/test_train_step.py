@@ -55,6 +55,24 @@ class TestLrSchedule:
         # deep decay (off-by-one is negligible here)
         np.testing.assert_allclose(float(sched(250000)), 5e-5, rtol=1e-4)
 
+    def test_matches_reference_loop_over_full_warmup(self):
+        """Literal transcription of the reference's post-step LR loop
+        (train.py:1631-1643): lr starts at args.lrate and is recomputed
+        AFTER optimizer.step() from the pre-increment global_step. Pin
+        our schedule to it across the whole warmup and past it."""
+        lrate, decay, warm = 5e-4, 250000, 1000
+        tc = TrainConfig(lrate=lrate, lrate_decay=decay, warmup_steps=warm)
+        sched = lr_schedule(tc)
+        ref_lr = lrate   # what the reference's step 0 runs at
+        for global_step in range(2500):
+            np.testing.assert_allclose(
+                float(sched(global_step)), ref_lr, rtol=1e-6,
+                err_msg=f"step {global_step}")
+            new_lrate = lrate * (0.1 ** (global_step / decay))
+            if global_step < warm:
+                new_lrate /= 20.0 * (-(global_step - warm) / warm) + 1.0
+            ref_lr = new_lrate
+
 
 class TestTrainStep:
     def test_single_step_updates_params(self, tmp_path):
