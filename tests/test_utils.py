@@ -2,6 +2,8 @@
 
 import os
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 import numpy as np
 import pytest
 
@@ -124,3 +126,31 @@ class TestViz:
             content = open(path).read()
             assert content.startswith("v ")
             assert "\nf " in content
+
+
+class TestPlotMetrics:
+    def test_cli_renders_png(self, tmp_path):
+        """tools/plot_metrics.py turns a metrics.jsonl stream (train +
+        val rows, the schema train.py emits) into a PNG."""
+        import json
+        import subprocess
+        import sys
+        logs = tmp_path / "exp" / "logs"
+        logs.mkdir(parents=True)
+        stream = logs / "metrics.jsonl"
+        with open(stream, "w") as f:
+            for step in range(100, 600, 100):
+                f.write(json.dumps({
+                    "step": step, "it_per_sec": 75.0,
+                    "loss": 1.0 / step, "psnr": 20 + step / 100,
+                    "img_loss0": 0.5 / step, "offsets_loss": 1e-5,
+                    "divergence_loss": 1e-4}) + "\n")
+                f.write(json.dumps({"step": step, "val_view": 0,
+                                    "val_psnr": 19 + step / 100}) + "\n")
+        out = tmp_path / "curves.png"
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/plot_metrics.py"),
+             str(stream), "-o", str(out)],
+            capture_output=True, text=True, cwd=REPO)
+        assert res.returncode == 0, res.stderr
+        assert out.exists() and out.stat().st_size > 1000
