@@ -50,11 +50,14 @@ GLOBAL_STEP = 1234
 LATENT = 32
 
 
-@pytest.fixture(scope="module")
-def ref_train(tmp_path_factory):
-    """The reference train.py loaded as a module on CPU."""
-    if not (REFERENCE_DIR / "train.py").exists():
-        pytest.skip("no reference")
+_REF_TRAIN_CACHE = []
+
+
+def load_ref_train_module():
+    """The reference train.py loaded as a module on CPU (cached; also used
+    by tests/test_interop.py)."""
+    if _REF_TRAIN_CACHE:
+        return _REF_TRAIN_CACHE[0]
     if str(REFERENCE_DIR) not in sys.path:
         sys.path.append(str(REFERENCE_DIR))
     torch.nn.Module.cuda = lambda self, *a, **k: self
@@ -64,7 +67,15 @@ def ref_train(tmp_path_factory):
         "ref_train_mod", str(REFERENCE_DIR / "train.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    _REF_TRAIN_CACHE.append(mod)
     return mod
+
+
+@pytest.fixture(scope="module")
+def ref_train():
+    if not (REFERENCE_DIR / "train.py").exists():
+        pytest.skip("no reference")
+    return load_ref_train_module()
 
 
 import contextlib
