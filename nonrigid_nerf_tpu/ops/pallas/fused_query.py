@@ -847,8 +847,12 @@ def _mlp_core_bwd(block, residuals, draw):
         out_specs=[_io_spec(block, emb_cols)] + dw_specs,
         out_shape=([jax.ShapeDtypeStruct((n, emb_cols), jnp.float32)]
                    + dw_shapes),
+        # 28 MB, not the usual 24: under the two-phase (train/test-latent)
+        # backward the compiler lays this kernel out 366 KB past 24 MB at
+        # 2048-pt blocks (observed on v5e with train/test block splits);
+        # the chip has 128 MB VMEM, so the bigger scope costs nothing
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=28 * 1024 * 1024),
     )(embb, *mwb, draw)
     demb = out[0].astype(jnp.float32)
     return demb, tuple(out[1:])
