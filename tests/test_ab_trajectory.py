@@ -1,0 +1,50 @@
+"""Smoke test for the long-horizon A/B trajectory tool
+(tools/ab_reference_trajectory.py): a few real optimization steps of BOTH
+frameworks (the imported PyTorch reference and the production jitted step)
+on real example_sequence data, identical init and batches, asserting the
+trajectories track each other. The full-scale artifact lives in
+results/r3_ab_trajectory/.
+"""
+
+import json
+import os
+
+import pytest
+
+from tests.conftest import REFERENCE_DIR, requires_reference
+
+pytest.importorskip("torch")
+
+
+@requires_reference
+def test_ab_trajectory_tool_smoke(tmp_path):
+    if not (REFERENCE_DIR / "data" / "example_sequence"
+            / "precomputed.json").exists():
+        pytest.skip("no example_sequence data")
+    from nonrigid_nerf_tpu.engine import train_step as ts_mod
+    from nonrigid_nerf_tpu.engine import losses as losses_mod
+    sampler_before = ts_mod.sample_ray_batch
+    div_before = losses_mod.divergence_loss
+
+    from tools.ab_reference_trajectory import run
+    summary = run([
+        "--steps", "4", "--frames", "3", "--factor", "16",
+        "--n_rand", "48", "--n_samples", "8", "--n_importance", "8",
+        "--eval_every", "4", "--probe_rays", "128", "--early_window", "4",
+        "--out", str(tmp_path), "--no_plot",
+    ])
+    # typical step tracks to fp32 noise; occasional 1/pdf-amplified
+    # outliers are covered by the (looser) max bound
+    assert summary["early_median_rel_loss_gap"] < 1e-3
+    assert summary["early_max_rel_loss_gap"] < 5e-2
+    assert abs(summary["final_psnr_gap_db"]) < 0.05
+
+    with open(os.path.join(tmp_path, "trajectory.json")) as f:
+        art = json.load(f)
+    assert len(art["loss_torch"]) == len(art["loss_jax"]) == 4
+    assert len(art["evals"]) == 3  # steps 0 and 3, plus the final state
+
+    # run() must leave no module-level patches behind (it swaps the
+    # production batch sampler and the divergence estimator while running)
+    assert ts_mod.sample_ray_batch is sampler_before
+    assert losses_mod.divergence_loss is div_before

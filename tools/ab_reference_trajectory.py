@@ -1,0 +1,441 @@
+"""Long-horizon training-trajectory A/B against the actual PyTorch reference.
+
+Closes the last open parity item (ROADMAP "A/B against the actual PyTorch
+reference ... for long-horizon trajectory parity beyond 3 steps"): the
+one-step and 3-step tests (tests/test_reference_e2e.py) pin losses,
+gradients, and the optimizer loop; this tool trains BOTH frameworks for
+hundreds-to-thousands of real optimization steps on the real
+`example_sequence` images and compares the trajectories.
+
+Protocol:
+  * identical data: a frame subset of /root/reference/data/example_sequence
+    downsampled by --factor (area mean), poses/bounds from precomputed.json,
+    rays precomputed once with our parity-tested `get_rays_np` equivalent
+    and fed to both sides;
+  * identical initialization: the reference's `create_nerf` init
+    (reference train.py:556-721, Kaiming + zero-init final bender layers,
+    zero latent codes) copied leaf-by-leaf into the JAX param tree;
+  * identical batches: one numpy RNG draws the (image, x, y) pixel batch of
+    every step, consumed by both sides (the reference samples this way on
+    the host, train.py:1546-1553; our production sampler is on-device, so
+    the jitted step is driven with `sample_ray_batch` replaced by the
+    shared batch — batch-content parity is separately pinned by
+    tests/test_train_step.py);
+  * deterministic math: perturb=0, raw_noise_std=0, and (by default) the
+    EXACT divergence estimator on both sides, so the two trajectories are
+    comparable step-by-step until fp32 accumulation chaos separates them;
+  * torch runs its genuine loop: training_wrapper_class forward, backward,
+    torch Adam, and the reference's post-step LR update with the
+    pre-increment global step (reference train.py:1631-1643,1952). Ours is
+    the production jitted `train_step`.
+
+Reported: per-step total loss for both sides, PSNR on a fixed probe ray set
+every --eval_every steps, the max relative loss gap over the early
+(pre-chaos) window, and the final probe-PSNR gap. Artifacts (JSON + PNG +
+README) land in --out.
+
+Both sides run on CPU (JAX_PLATFORMS=cpu is set before jax imports) so the
+comparison is backend-symmetric; this is a parity tool, not a benchmark.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def downsample(img: np.ndarray, factor: int) -> np.ndarray:
+    """Area-mean downsample of an (H, W, 3) float image."""
+    H, W, C = img.shape
+    assert H % factor == 0 and W % factor == 0, (H, W, factor)
+    return img.reshape(H // factor, factor, W // factor, factor, C).mean(
+        axis=(1, 3))
+
+
+def load_example_subset(factor: int, num_frames: int):
+    """Frame subset of example_sequence: images in [0,1], c2w poses,
+    per-frame intrinsics at the downsampled resolution, near/far."""
+    import imageio.v2 as imageio
+    data_dir = os.path.join(REPO, "..", "reference", "data",
+                            "example_sequence")
+    data_dir = os.path.abspath(data_dir)
+    with open(os.path.join(data_dir, "precomputed.json")) as f:
+        pre = json.load(f)
+    poses = np.asarray(pre["poses"], np.float32)          # (86, 3, 5)
+    bds = np.asarray(pre["bds"], np.float32)              # (86, 2)
+    files = sorted(os.listdir(os.path.join(data_dir, "images")))
+    sel = np.linspace(0, len(files) - 1, num_frames).round().astype(int)
+
+    images = np.stack([
+        downsample(np.asarray(
+            imageio.imread(os.path.join(data_dir, "images", files[i])),
+            np.float32) / 255.0, factor)
+        for i in sel])                                    # (F, h, w, 3)
+
+    H_full, W_full, focal_full = poses[0, :, 4]
+    intrin = {
+        "height": images.shape[1], "width": images.shape[2],
+        "focal_x": float(focal_full) / factor,
+        "focal_y": float(focal_full) / factor,
+        "center_x": (W_full / factor) * 0.5,
+        "center_y": (H_full / factor) * 0.5,
+    }
+    c2w = poses[sel, :3, :4]                              # (F, 3, 4)
+    # reference main_function: near = bds.min()*0.9, far = bds.max()
+    # (reference train.py:1419-1420), over the full sequence
+    near = float(bds.min()) * 0.9
+    far = float(bds.max())
+    return images, c2w, intrin, near, far
+
+
+def precompute_rays(c2w: np.ndarray, intrin: dict) -> np.ndarray:
+    """(F, h, w, 2, 3) ray origins+directions via the package's ray op."""
+    import jax
+    from nonrigid_nerf_tpu.ops.rays import get_rays
+    grids = []
+    for pose in c2w:
+        ro, rd = get_rays(pose, intrin)
+        grids.append(np.stack([np.asarray(ro), np.asarray(rd)], axis=2))
+    return np.stack(grids)
+
+
+def make_batch(rng: np.random.RandomState, rays: np.ndarray,
+               images: np.ndarray, n_rand: int):
+    F, h, w = images.shape[:3]
+    img = rng.randint(0, F, size=n_rand)
+    x = rng.randint(0, w, size=n_rand)
+    y = rng.randint(0, h, size=n_rand)
+    ro = rays[img, y, x, 0]
+    rd = rays[img, y, x, 1]
+    target = images[img, y, x]
+    return img, ro.astype(np.float32), rd.astype(np.float32), \
+        target.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# torch (reference) side
+# ---------------------------------------------------------------------------
+
+def build_reference_side(steps_args: argparse.Namespace, num_frames: int,
+                         near: float, far: float, workdir: str):
+    import torch
+    from tests.test_reference_e2e import (load_ref_train_module,
+                                          make_ref_args)
+    ref_train = load_ref_train_module()
+    args = make_ref_args(
+        workdir,
+        N_samples=steps_args.n_samples, N_importance=steps_args.n_importance,
+        N_rand=steps_args.n_rand, chunk=1 << 17, netchunk=1 << 19,
+        expname="ab_ref")
+    torch.manual_seed(steps_args.seed)
+    latents = [torch.zeros(args.ray_bending_latent_size, requires_grad=True)
+               for _ in range(num_frames)]
+    (rk_train, rk_test, start, grad_vars, optimizer) = ref_train.create_nerf(
+        args, latents, ignore_optimizer=False)
+    rk_train.update({"near": near, "far": far})
+
+    restore = []
+    if steps_args.divergence == "exact":
+        import run_nerf_helpers as ref_helpers
+        orig = ref_helpers.divergence_approx
+        restore.append(
+            lambda: setattr(ref_helpers, "divergence_approx", orig))
+        ref_helpers.divergence_approx = ref_helpers.divergence_exact
+
+    return ref_train, args, rk_train, latents, optimizer, restore
+
+
+def torch_step(ref_train, args, rk_train, latents, optimizer, wrapper,
+               batch, global_step: int, num_frames: int):
+    import torch
+    img, ro, rd, target = batch
+    pix = torch.tensor(
+        np.stack([img, np.zeros_like(img), np.zeros_like(img)], -1),
+        dtype=torch.long)
+    optimizer.zero_grad()
+    for latent in latents:
+        latent.grad = None
+    losses = wrapper(
+        args, torch.tensor(ro), torch.tensor(rd), global_step, rk_train,
+        torch.tensor(target), global_step, 0,
+        {"imageid_to_timestepid": list(range(num_frames))}, pix)
+    loss = losses.mean()
+    loss.backward()
+    optimizer.step()
+    # the reference updates the LR AFTER the step with the PRE-increment
+    # global step (reference train.py:1631-1643, += 1 at :1952)
+    decay_rate, warming_up = 0.1, 1000
+    new_lrate = args.lrate * (decay_rate ** (global_step / args.lrate_decay))
+    if global_step < warming_up:
+        new_lrate /= (20.0 * (-(global_step - warming_up) / warming_up) + 1.0)
+    for group in optimizer.param_groups:
+        group["lr"] = new_lrate
+    return float(loss.detach())
+
+
+def torch_probe_psnr(ref_train, args, rk_train, latents, probe,
+                     num_frames: int) -> float:
+    import torch
+    img, ro, rd, target = probe
+    with torch.no_grad():
+        lat = torch.stack([latents[i].detach() for i in img])
+        rk = dict(rk_train)
+        rk.update(perturb=0.0, raw_noise_std=0.0)
+        rgb, _, _, _ = ref_train.render(
+            torch.tensor(ro), torch.tensor(rd), chunk=args.chunk, ndc=False,
+            additional_pixel_information={"ray_bending_latents": lat},
+            detailed_output=False, **{k: v for k, v in rk.items()
+                                      if k not in ("ndc",)})
+        mse = float(((rgb - torch.tensor(target)) ** 2).mean())
+    return -10.0 * np.log10(mse)
+
+
+# ---------------------------------------------------------------------------
+# JAX (production) side
+# ---------------------------------------------------------------------------
+
+def build_jax_side(steps_args, rk_train, latents, near, far):
+    import functools
+    import jax
+    from tests.test_reference_e2e import params_from_reference
+    from nonrigid_nerf_tpu.config import (ModelConfig, RenderSettings,
+                                          TrainConfig)
+    from nonrigid_nerf_tpu.engine import train_step as ts_mod
+    from nonrigid_nerf_tpu.engine import losses as losses_mod
+    from nonrigid_nerf_tpu.engine.train_state import (TrainState,
+                                                      make_optimizer)
+
+    cfg = ModelConfig(N_samples=steps_args.n_samples,
+                      N_importance=steps_args.n_importance,
+                      fused_kernel="off")
+    rs = RenderSettings(N_samples=steps_args.n_samples,
+                        N_importance=steps_args.n_importance,
+                        near=near, far=far, perturb=0.0, raw_noise_std=0.0)
+    tc = TrainConfig(N_rand=steps_args.n_rand, offsets_loss_weight=60.0,
+                     divergence_loss_weight=3.0, rigidity_loss_weight=5e-4,
+                     N_iters=200000, lrate=5e-4, lrate_decay=250000)
+
+    # patches are installed here and restored by run()'s finally block so
+    # the tool is safe to call in-process (e.g. from the smoke test)
+    restore = []
+    if steps_args.divergence == "exact":
+        orig = losses_mod.divergence_loss
+        restore.append(lambda: setattr(losses_mod, "divergence_loss", orig))
+        losses_mod.divergence_loss = functools.partial(orig, exact=True)
+
+    params0 = jax.tree_util.tree_map(
+        lambda x: np.array(x, copy=True),
+        params_from_reference(rk_train, latents))
+    optimizer = make_optimizer(tc)
+    state = TrainState(params=params0, opt_state=optimizer.init(params0),
+                       step=np.int32(0))
+
+    # drive the production step with the shared host batch: the sampler is
+    # replaced by pass-through of the `ds` argument (batch-content parity
+    # with the real on-device sampler is pinned by tests/test_train_step.py)
+    orig_sampler = ts_mod.sample_ray_batch
+    restore.append(lambda: setattr(ts_mod, "sample_ray_batch", orig_sampler))
+    ts_mod.sample_ray_batch = lambda key, ds, n_rand: ds
+    step_fn = jax.jit(functools.partial(
+        ts_mod.train_step, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
+        has_test_split=False, n_rand=steps_args.n_rand))
+    return cfg, rs, state, step_fn, restore
+
+
+def jax_batch_dict(batch):
+    import jax.numpy as jnp
+    img, ro, rd, target = batch
+    ones = np.ones(len(img), np.float32)
+    return {
+        "rays_o": jnp.asarray(ro), "rays_d": jnp.asarray(rd),
+        "target_rgb": jnp.asarray(target),
+        "image_ids": jnp.asarray(img), "timestep_ids": jnp.asarray(img),
+        "train_indicator": jnp.asarray(ones),
+        "test_indicator": jnp.asarray(1.0 - ones),
+    }
+
+
+def jax_probe_psnr(params, cfg, rs, probe) -> float:
+    import jax
+    import jax.numpy as jnp
+    from nonrigid_nerf_tpu.engine.render import render_rays
+    img, ro, rd, target = probe
+    lat = params["latents"][jnp.asarray(img)]
+    out = render_rays(params, cfg, rs, jnp.asarray(ro), jnp.asarray(rd),
+                      lat, key=None)
+    mse = float(jnp.mean((out["rgb_map"] - jnp.asarray(target)) ** 2))
+    return -10.0 * np.log10(mse)
+
+
+# ---------------------------------------------------------------------------
+
+def run(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--factor", type=int, default=8)
+    p.add_argument("--frames", type=int, default=9)
+    p.add_argument("--n_rand", type=int, default=256)
+    p.add_argument("--n_samples", type=int, default=32)
+    p.add_argument("--n_importance", type=int, default=32)
+    p.add_argument("--eval_every", type=int, default=150)
+    p.add_argument("--probe_rays", type=int, default=4096)
+    p.add_argument("--early_window", type=int, default=50,
+                   help="steps over which the per-step loss gap is asserted "
+                        "tight (before fp32 chaos separates trajectories)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--divergence", choices=["exact", "approx"],
+                   default="exact")
+    p.add_argument("--out", default=os.path.join(REPO, "results",
+                                                 "r3_ab_trajectory"))
+    p.add_argument("--no_plot", action="store_true")
+    args = p.parse_args(argv)
+
+    # CPU on both sides, set before any jax import. The env var alone is
+    # not enough — the axon TPU plugin can override JAX_PLATFORMS (same
+    # workaround as tests/conftest.py), so also force it on the config.
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    images, c2w, intrin, near, far = load_example_subset(
+        args.factor, args.frames)
+    print(f"data: {images.shape[0]} frames at "
+          f"{images.shape[1]}x{images.shape[2]}, near={near:.3f} "
+          f"far={far:.3f}", flush=True)
+    rays = precompute_rays(c2w, intrin)
+
+    restore = []
+    with tempfile.TemporaryDirectory() as workdir:
+        ref_train, rargs, rk_train, latents, optimizer, restore_t = \
+            build_reference_side(args, args.frames, near, far, workdir)
+        cfg, rs, state, step_fn, restore_j = build_jax_side(
+            args, rk_train, latents, near, far)
+        restore = restore_t + restore_j
+        try:
+            wrapper = ref_train.training_wrapper_class(
+                rk_train["network_fn"], latents,
+                fine_model=rk_train["network_fine"],
+                ray_bender=rk_train["ray_bender"])
+
+            rng = np.random.RandomState(args.seed + 1)
+            probe = make_batch(np.random.RandomState(args.seed + 2), rays,
+                               images, args.probe_rays)
+
+            import jax
+            loss_torch, loss_jax = [], []
+            evals = []  # (step, psnr_torch, psnr_jax)
+            t_torch = t_jax = 0.0
+            key = jax.random.PRNGKey(0)  # unused by the deterministic step
+            for step in range(args.steps):
+                if step % args.eval_every == 0 or step == args.steps - 1:
+                    pt = torch_probe_psnr(ref_train, rargs, rk_train,
+                                          latents, probe, args.frames)
+                    pj = jax_probe_psnr(state.params, cfg, rs, probe)
+                    evals.append((step, pt, pj))
+                    print(f"step {step:5d}: probe PSNR torch={pt:.3f} "
+                          f"jax={pj:.3f} (gap {pj - pt:+.3f} dB)",
+                          flush=True)
+                batch = make_batch(rng, rays, images, args.n_rand)
+                t0 = time.time()
+                lt = torch_step(ref_train, rargs, rk_train, latents,
+                                optimizer, wrapper, batch, step, args.frames)
+                t1 = time.time()
+                state, metrics = step_fn(state, jax_batch_dict(batch), key)
+                lj = float(metrics["loss"])
+                t2 = time.time()
+                t_torch += t1 - t0
+                t_jax += t2 - t1
+                loss_torch.append(lt)
+                loss_jax.append(lj)
+                if step < 5 or step % 100 == 0:
+                    print(f"step {step:5d}: loss torch={lt:.6f} "
+                          f"jax={lj:.6f}", flush=True)
+
+            pt = torch_probe_psnr(ref_train, rargs, rk_train, latents,
+                                  probe, args.frames)
+            pj = jax_probe_psnr(state.params, cfg, rs, probe)
+            evals.append((args.steps, pt, pj))
+            print(f"final: probe PSNR torch={pt:.3f} jax={pj:.3f} "
+                  f"(gap {pj - pt:+.3f} dB)", flush=True)
+        finally:
+            for f in restore:
+                f()
+
+    lt = np.asarray(loss_torch)
+    lj = np.asarray(loss_jax)
+    w = min(args.early_window, args.steps)
+    early_rel = np.abs(lt[:w] - lj[:w]) / np.abs(lt[:w])
+    # the max is dominated by the known 1/pdf-amplified rounding outliers
+    # (see tests/test_reference_e2e.py TOL comment); the median is the
+    # typical step
+    early_gap = float(np.max(early_rel))
+    early_median = float(np.median(early_rel))
+    tail = max(1, len(evals) // 3)
+    tail_gaps = [e[2] - e[1] for e in evals[-tail:]]
+    summary = {
+        "steps": args.steps,
+        "config": {
+            "factor": args.factor, "frames": args.frames,
+            "n_rand": args.n_rand, "n_samples": args.n_samples,
+            "n_importance": args.n_importance,
+            "divergence": args.divergence, "seed": args.seed,
+            "near": near, "far": far,
+            "resolution": list(images.shape[1:3]),
+        },
+        "early_window": w,
+        "early_max_rel_loss_gap": early_gap,
+        "early_median_rel_loss_gap": early_median,
+        "final_psnr_torch": evals[-1][1],
+        "final_psnr_jax": evals[-1][2],
+        "final_psnr_gap_db": evals[-1][2] - evals[-1][1],
+        "tail_psnr_gaps_db": tail_gaps,
+        "mean_tail_psnr_gap_db": float(np.mean(tail_gaps)),
+        "sec_per_step_torch_cpu": t_torch / args.steps,
+        "sec_per_step_jax_cpu": t_jax / args.steps,
+    }
+    print(json.dumps(summary, indent=2))
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "trajectory.json"), "w") as f:
+        json.dump({**summary,
+                   "loss_torch": loss_torch, "loss_jax": loss_jax,
+                   "evals": evals}, f)
+
+    if not args.no_plot:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(11, 4))
+            xs = np.arange(len(lt))
+            ax0.plot(xs, lt, label="PyTorch reference", lw=1.0)
+            ax0.plot(xs, lj, label="nonrigid_nerf_tpu", lw=1.0, ls="--")
+            ax0.set_yscale("log")
+            ax0.set_xlabel("step")
+            ax0.set_ylabel("total training loss")
+            ax0.legend()
+            ev = np.asarray(evals)
+            ax1.plot(ev[:, 0], ev[:, 1], "o-", label="PyTorch reference")
+            ax1.plot(ev[:, 0], ev[:, 2], "s--", label="nonrigid_nerf_tpu")
+            ax1.set_xlabel("step")
+            ax1.set_ylabel("probe PSNR (dB)")
+            ax1.legend()
+            fig.suptitle("Identical init + identical batches: "
+                         "long-horizon A/B vs the PyTorch reference")
+            fig.tight_layout()
+            fig.savefig(os.path.join(args.out, "trajectory.png"), dpi=120)
+        except Exception as e:  # plot is a convenience, not the artifact
+            print(f"plot skipped: {e}")
+    return summary
+
+
+if __name__ == "__main__":
+    run()
