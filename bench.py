@@ -61,14 +61,14 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
-    def measure_train(cfg, n_steps=600):
+    def measure_train(cfg, n_steps=600, ds=ds, has_test_split=False):
         """Train-step throughput. NOTE: on the tunneled TPU platform
         block_until_ready can return before remote execution completes;
         fetching a scalar is the only reliable synchronization, so all
         timing fences are float(...) fetches."""
         state = create_train_state(jax.random.PRNGKey(0), cfg, tc,
                                    ds.num_timesteps)
-        step_fn = make_train_step(cfg, tc, rs, has_test_split=False)
+        step_fn = make_train_step(cfg, tc, rs, has_test_split=has_test_split)
         state, metrics = step_fn(state, ds, key)
         float(metrics["loss"])
         for _ in range(10):
@@ -92,6 +92,19 @@ def main():
     # overhead mode, README.md:128) through the viewdirs MLP kernel
     rays_per_sec_vd, _, _, _ = measure_train(
         dataclasses.replace(cfg, use_viewdirs=True), n_steps=300)
+    # secondary: train/test block-split mode (two-phase backward; the
+    # reference documents ~30% slowdown for test-latent optimization,
+    # README.md:137 — the extra cost here is exactly one more backward
+    # pass; see the ROADMAP negative-results entry)
+    import jax.numpy as _jnp
+    _ids = np.arange(ds.num_images)
+    _test = (_ids % 7) >= 5  # 5-train/2-test block pattern
+    ds_split = dataclasses.replace(
+        ds,
+        train_indicator=_jnp.asarray((~_test).astype(np.float32)),
+        test_indicator=_jnp.asarray(_test.astype(np.float32)))
+    rays_per_sec_split, _, _, _ = measure_train(
+        cfg, n_steps=300, ds=ds_split, has_test_split=True)
 
     # secondary metric: inference throughput (full-image rendering path)
     from nonrigid_nerf_tpu.engine.render import make_ray_renderer
@@ -130,6 +143,7 @@ def main():
         "render_rays_per_sec": round(render_rays_per_sec, 1),
         "train_rays_per_sec_bf16": round(rays_per_sec_bf16, 1),
         "train_rays_per_sec_viewdirs": round(rays_per_sec_vd, 1),
+        "train_rays_per_sec_block_split": round(rays_per_sec_split, 1),
         # the reference publishes no absolute numbers (BASELINE.md);
         # vs_baseline divides by the documented estimate below
         "baseline_estimated": True,
