@@ -475,6 +475,14 @@ def free_viewpoint_rendering(fvr_args):
         imageio.imwrite(
             os.path.join(output_folder, "standard_deviations.png"),
             to8b(disparity_to_jet(np.clip(std, 0.0, 1.0))))
+        # the reference only visualizes; also persist the scalar so runs
+        # are comparable (lower = more stable background)
+        with open(os.path.join(output_folder,
+                               "background_stability.json"), "w") as f:
+            json.dump({"mean_10x_std": float(np.mean(std)),
+                       "max_10x_std": float(np.max(std)),
+                       "num_frames": int(len(rgbs)),
+                       "fixed_view": int(fvr_args.fixed_view)}, f, indent=2)
 
     # quantitative evaluation
     # (reference: free_viewpoint_rendering.py:787-876)

@@ -6,11 +6,20 @@ per-view intrinsics, scene metadata (near/far/volume extent), and the
 dataset mappings — so inference needs only the experiment folder
 (reference: free_viewpoint_rendering.py:18-74).
 
-Format: `<name>.npz` holding every array leaf under a flattened key, plus a
-`__meta__` JSON payload with the tree structure and the non-array extras.
-`latest.npz` is rewritten at every save; numbered `{step:06d}.npz` archives
-are kept at major milestones — matching the reference's latest.tar /
-numbered-tar policy.
+Formats (selected by path extension; `load_checkpoint` dispatches, so call
+sites never care which one wrote a checkpoint):
+
+- `<name>.npz` (default): every array leaf under a flattened key, plus a
+  `__meta__` JSON payload with the tree structure and the non-array extras.
+- `<name>.orbax` (opt-in, train.py `--checkpoint_format orbax`): the SAME
+  flattened leaves stored through Orbax/TensorStore (the JAX-ecosystem
+  checkpoint layer — zarr chunked storage, natively extendable to sharded
+  global arrays), with the same meta JSON as a sidecar. Both formats
+  restore bit-identically because they share the flatten/unflatten layer.
+
+`latest.<ext>` is rewritten at every save; numbered `{step:06d}.<ext>`
+archives are kept at major milestones — matching the reference's
+latest.tar / numbered-tar policy.
 """
 
 from __future__ import annotations
@@ -45,9 +54,7 @@ def _flatten(tree, prefix="") -> Dict[str, Any]:
     return out
 
 
-def save_checkpoint(path: str, step: int, params, opt_state=None,
-                    extras: Optional[dict] = None) -> None:
-    """Write one checkpoint file (atomically via rename)."""
+def _split_tree(step, params, opt_state, extras):
     tree = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
@@ -67,10 +74,57 @@ def save_checkpoint(path: str, step: int, params, opt_state=None,
         "extras": extras or {},
         "format_version": 1,
     }
+    return arrays, meta
+
+
+def save_checkpoint(path: str, step: int, params, opt_state=None,
+                    extras: Optional[dict] = None) -> None:
+    """Write one checkpoint (atomically via rename). `.orbax` paths go
+    through the Orbax/TensorStore backend, anything else is an npz file."""
+    if path.endswith(".orbax"):
+        return _save_orbax(path, step, params, opt_state, extras)
+    arrays, meta = _split_tree(step, params, opt_state, extras)
     tmp = path + ".tmp.npz"
     np.savez(tmp, __meta__=np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8), **arrays)
     os.replace(tmp, path)
+
+
+def _save_orbax(path: str, step: int, params, opt_state=None,
+                extras: Optional[dict] = None) -> None:
+    """Orbax-backed save: one `<path>/tree` Orbax checkpoint holding the
+    flattened leaves + `<path>/meta.json`. The flat keys use '/' as the
+    separator, which Orbax would treat as nesting — stored as '.' (no tree
+    key of ours contains a dot; asserted)."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    arrays, meta = _split_tree(step, params, opt_state, extras)
+    for key in arrays:
+        assert "." not in key, f"flat key {key!r} clashes with the " \
+                               "orbax separator substitution"
+
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    ocp.PyTreeCheckpointer().save(
+        os.path.join(tmp, "tree"),
+        {k.replace("/", "."): v for k, v in arrays.items()})
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    # directory swap: os.replace cannot atomically replace a non-empty
+    # directory, so retire the old one first (numbered archives and the
+    # auto-resume scan cover the tiny crash window)
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.replace(path, old)
+    os.replace(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _unflatten(arrays: Dict[str, np.ndarray], structure: Dict[str, dict]):
@@ -118,9 +172,18 @@ def load_checkpoint(path: str) -> Tuple[int, Any, Any, dict]:
     *structure values*; use `restore_opt_state` to rebuild the exact optax
     state classes against a template.
     """
-    with np.load(path, allow_pickle=False) as data:
-        meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
-        arrays = {k: data[k] for k in data.files if k != "__meta__"}
+    if path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        restored = ocp.PyTreeCheckpointer().restore(
+            os.path.join(path, "tree"))
+        arrays = {k.replace(".", "/"): np.asarray(v)
+                  for k, v in restored.items()}
+    else:
+        with np.load(path, allow_pickle=False) as data:
+            meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+            arrays = {k: data[k] for k in data.files if k != "__meta__"}
     tree = _unflatten(arrays, meta["structure"])
     params = tree.get("params")
     opt_state = tree.get("opt_state")
@@ -144,12 +207,15 @@ def find_checkpoints(logdir: str):
     if not os.path.isdir(logdir):
         return []
     ckpts = [f for f in os.listdir(logdir)
-             if f.endswith(".npz") and not f.endswith(".tmp.npz")]
+             if (f.endswith(".npz") and not f.endswith(".tmp.npz"))
+             or (f.endswith(".orbax")
+                 and os.path.isdir(os.path.join(logdir, f)))]
 
     def sort_key(name):
-        if name == "latest.npz":
+        stem = name.rsplit(".", 1)[0]
+        if stem == "latest":
             return (1, 0)
-        m = re.match(r"(\d+)\.npz$", name)
+        m = re.match(r"(\d+)$", stem)
         return (0, int(m.group(1))) if m else (-1, 0)
 
     return [os.path.join(logdir, f) for f in sorted(ckpts, key=sort_key)]

@@ -235,6 +235,11 @@ DEFAULTS = {
     # persistent XLA compilation cache: cuts the first-step compile from
     # ~130s (cold) to ~12s on the TPU box; "" disables
     "compilation_cache_dir": "~/.cache/nonrigid_nerf_tpu/xla",
+    # checkpoint storage backend: "npz" (single self-describing file,
+    # default) or "orbax" (Orbax/TensorStore directory — the JAX-ecosystem
+    # layer, natively extendable to sharded global arrays). Both restore
+    # bit-identically (nonrigid_nerf_tpu/checkpoints.py)
+    "checkpoint_format": "npz",
 }
 
 

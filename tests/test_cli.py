@@ -115,6 +115,53 @@ class TestTrainCLI:
         assert "Reloading from" in out
 
 
+class TestOrbaxCheckpointFormat:
+    def test_train_resume_with_orbax_backend(self, tmp_path, capsys):
+        """--checkpoint_format orbax: training writes latest.orbax, the
+        auto-resume scan finds it, and a rerun resumes instead of
+        retraining."""
+        pytest.importorskip("orbax.checkpoint")
+        datadir = tmp_path / "data"
+        datadir.mkdir()
+        write_synthetic_sequence(str(datadir), n=3, H=10, W=12)
+        args = train_cli.parse_args([
+            "--datadir", str(datadir), "--rootdir", str(tmp_path / "exp"),
+            "--expname", "orb", "--ray_bending", "simple_neural",
+            "--netdepth", "2", "--netwidth", "32", "--netdepth_fine", "2",
+            "--netwidth_fine", "32", "--multires", "4", "--N_samples", "4",
+            "--N_importance", "4", "--N_rand", "8", "--N_iters", "6",
+            "--i_weights", "6", "--i_print", "6", "--i_video", "1000",
+            "--i_testset", "1000", "--seed", "0",
+            "--checkpoint_format", "orbax"])
+        folder = os.path.join(args.rootdir, args.expname)
+        train_cli.create_folder(folder)
+        train_cli.main_function(args)
+        logdir = os.path.join(folder, "logs")
+        assert os.path.isdir(os.path.join(logdir, "latest.orbax"))
+        assert not any(f.endswith(".npz") for f in os.listdir(logdir))
+
+        from nonrigid_nerf_tpu.checkpoints import load_checkpoint
+        step, params, opt_state, extras = load_checkpoint(
+            os.path.join(logdir, "latest.orbax"))
+        assert step == 6
+        assert np.all(np.isfinite(params["coarse"]["pts"][0]["w"]))
+        assert "intrinsics" in extras and opt_state is not None
+
+        train_cli.main_function(args)   # auto-resume path
+        assert "Reloading from" in capsys.readouterr().out
+
+    def test_rejects_unknown_format(self, tmp_path):
+        datadir = tmp_path / "data"
+        datadir.mkdir()
+        write_synthetic_sequence(str(datadir), n=2, H=10, W=12)
+        args = train_cli.parse_args([
+            "--datadir", str(datadir), "--rootdir", str(tmp_path / "exp"),
+            "--expname", "bad", "--checkpoint_format", "tar"])
+        train_cli.create_folder(os.path.join(args.rootdir, args.expname))
+        with pytest.raises(ValueError, match="checkpoint_format"):
+            train_cli.main_function(args)
+
+
 class TestValidationImages:
     def test_i_img_renders_validation_views(self, tmp_path):
         """i_img > 0 periodically renders one held-out (or first train) view
@@ -225,6 +272,12 @@ class TestFVRCLI:
         assert "rigidity_000000.png" in files
         assert "disp_phong_000003.png" in files
         assert "standard_deviations.png" in files
+        with open(os.path.join(out, "background_stability.json")) as f:
+            stability = json.load(f)
+        assert np.isfinite(stability["mean_10x_std"])
+        assert 0.0 <= stability["mean_10x_std"] <= stability["max_10x_std"]
+        assert stability["num_frames"] == 4
+        assert stability["fixed_view"] == 1
 
     def test_input_reconstruction_scores(self, experiment, monkeypatch):
         # no LPIPS weights installed: lpips must be reported as null, never

@@ -217,6 +217,54 @@ class TestCheckpoints:
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                    rtol=1e-6)
 
+    def test_orbax_roundtrip_bit_identical_with_npz(self, tmp_path):
+        """The opt-in Orbax/TensorStore backend shares the flatten layer
+        with the npz format, so the two must restore identically."""
+        pytest.importorskip("orbax.checkpoint")
+        tc = TrainConfig()
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc, 4)
+        extras = {"near": 2.0, "intrinsics": {"0": {"focal_x": 20.0}}}
+        p_npz = os.path.join(tmp_path, "latest.npz")
+        p_orb = os.path.join(tmp_path, "latest.orbax")
+        save_checkpoint(p_npz, 123, state.params, state.opt_state, extras)
+        save_checkpoint(p_orb, 123, state.params, state.opt_state, extras)
+        assert os.path.isdir(p_orb)
+
+        got_n = load_checkpoint(p_npz)
+        got_o = load_checkpoint(p_orb)
+        assert got_o[0] == got_n[0] == 123
+        assert got_o[3] == got_n[3]
+        for which in (1, 2):  # params tree, opt_state tree
+            leaves_n = jax.tree_util.tree_leaves(got_n[which])
+            leaves_o = jax.tree_util.tree_leaves(got_o[which])
+            assert len(leaves_n) == len(leaves_o)
+            for a, b in zip(leaves_n, leaves_o):
+                assert np.asarray(a).dtype == np.asarray(b).dtype
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restore_opt_state works off the orbax tree too
+        restored = restore_opt_state(state.opt_state, got_o[2])
+        for p1, p2 in zip(jax.tree_util.tree_leaves(state.opt_state),
+                          jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_orbax_overwrite_and_scan(self, tmp_path):
+        """latest.orbax is rewritten in place (directory swap) and the
+        auto-resume scan treats both formats uniformly."""
+        pytest.importorskip("orbax.checkpoint")
+        tc = TrainConfig()
+        state = create_train_state(jax.random.PRNGKey(0), TINY, tc, 4)
+        logdir = str(tmp_path)
+        latest = os.path.join(logdir, "latest.orbax")
+        save_checkpoint(latest, 100, state.params)
+        save_checkpoint(latest, 200, state.params)   # overwrite dance
+        assert load_checkpoint(latest)[0] == 200
+        assert not os.path.exists(latest + ".tmp")
+        assert not os.path.exists(latest + ".old")
+        save_checkpoint(os.path.join(logdir, "050000.orbax"), 50000,
+                        state.params)
+        found = latest_checkpoint(logdir)
+        assert found == latest
+
     def test_numbered_vs_latest(self, tmp_path):
         tc = TrainConfig()
         state = create_train_state(jax.random.PRNGKey(0), TINY, tc, 4)

@@ -162,6 +162,11 @@ def main_function(args: Args) -> None:
     from nonrigid_nerf_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache(getattr(args, "compilation_cache_dir", None))
 
+    if getattr(args, "checkpoint_format", "npz") not in ("npz", "orbax"):
+        raise ValueError(
+            f"--checkpoint_format must be 'npz' or 'orbax', got "
+            f"{args.checkpoint_format!r}")
+
     from nonrigid_nerf_tpu.apps.render_path import (downscale_intrinsics,
                                                     render_path)
     from nonrigid_nerf_tpu.checkpoints import (latest_checkpoint,
@@ -351,14 +356,20 @@ def main_function(args: Args) -> None:
                          "val_psnr": round(val_psnr, 4)}) + "\n")
 
         if i % args.i_weights == 0 and main:
+            ext = getattr(args, "checkpoint_format", "npz")
             if i % 50000 == 0:
-                path = os.path.join(logdir, f"{i:06d}.npz")
+                path = os.path.join(logdir, f"{i:06d}.{ext}")
             else:
-                path = os.path.join(logdir, "latest.npz")
+                path = os.path.join(logdir, f"latest.{ext}")
             save_checkpoint(path, i, state.params, state.opt_state,
                             checkpoint_extras())
-            if path.endswith(f"{i:06d}.npz"):
-                shutil.copyfile(path, os.path.join(logdir, "latest.npz"))
+            if f"{i:06d}" in os.path.basename(path):
+                latest = os.path.join(logdir, f"latest.{ext}")
+                if ext == "npz":
+                    shutil.copyfile(path, latest)
+                else:  # directory-backed formats: just save again
+                    save_checkpoint(latest, i, state.params,
+                                    state.opt_state, checkpoint_extras())
             print("Saved checkpoint at", path, flush=True)
 
         if getattr(args, "die_at_step", 0) and i == args.die_at_step \
@@ -446,7 +457,8 @@ def main_function(args: Args) -> None:
 
     # final checkpoint
     if metrics is not None and main:
-        save_checkpoint(os.path.join(logdir, "latest.npz"), args.N_iters,
+        ext = getattr(args, "checkpoint_format", "npz")
+        save_checkpoint(os.path.join(logdir, f"latest.{ext}"), args.N_iters,
                         state.params, state.opt_state, checkpoint_extras())
         print(f"training done at step {int(state.step)}; final loss "
               f"{float(metrics['loss']):.5f}", flush=True)
