@@ -121,3 +121,22 @@ def load_exported(path: str):
         with open(meta_path) as f:
             meta = json.load(f)
     return exported.call, meta
+
+
+def render_many(render_fn, chunk: int, rays_o, rays_d, latents):
+    """Client-side convenience: drive a fixed-block artifact over
+    arbitrarily many rays (pad the tail block, strip the padding)."""
+    n = rays_o.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        rays_o = np.concatenate([rays_o, np.zeros((pad, 3), rays_o.dtype)])
+        rays_d = np.concatenate(
+            [rays_d, np.tile(np.asarray([[0, 0, -1]], rays_d.dtype),
+                             (pad, 1))])
+        latents = np.concatenate(
+            [latents, np.zeros((pad, latents.shape[1]), latents.dtype)])
+    outs = [render_fn(rays_o[i:i + chunk], rays_d[i:i + chunk],
+                      latents[i:i + chunk])
+            for i in range(0, n + pad, chunk)]
+    return {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
+            for k in outs[0]}

@@ -11,7 +11,8 @@ from nonrigid_nerf_tpu.config import ModelConfig, RenderSettings, TrainConfig
 from nonrigid_nerf_tpu.engine.render import render_rays
 from nonrigid_nerf_tpu.engine.train_state import create_train_state
 from nonrigid_nerf_tpu.serving import (export_renderer, load_exported,
-                                       make_serving_fn, save_exported)
+                                       make_serving_fn, render_many,
+                                       save_exported)
 
 TINY = ModelConfig(netdepth=2, netwidth=32, netdepth_fine=2,
                    netwidth_fine=32, multires=4, N_samples=4,
@@ -77,6 +78,39 @@ def test_artifact_needs_only_jax(artifact):
     rays_o, rays_d, latents = _rays(CHUNK)
     out = exported.call(rays_o, rays_d, latents)
     assert np.all(np.isfinite(np.asarray(out["rgb_map"])))
+
+
+def test_render_many_pads_and_strips(artifact):
+    """Arbitrary ray counts through the fixed-block artifact: the padded
+    tail must not leak into the results."""
+    params, path = artifact
+    render, meta = load_exported(path)
+    n = CHUNK + 17
+    rays_o, rays_d, latents = _rays(n)
+    got = render_many(render, meta["chunk"], rays_o, rays_d, latents)
+    want = make_serving_fn(params, TINY, RS)(rays_o, rays_d, latents)
+    for k in got:
+        assert got[k].shape[0] == n
+        np.testing.assert_allclose(got[k], np.asarray(want[k]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_viewdirs_model_exports(tmp_path):
+    """The viewdirs family exports through the same path."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, use_viewdirs=True)
+    params = create_train_state(jax.random.PRNGKey(2), cfg, TrainConfig(),
+                                2).params
+    blob, meta = export_renderer(params, cfg, RS, chunk=16)
+    path = os.path.join(tmp_path, "vd.stablehlo")
+    save_exported(path, blob, meta)
+    render, _ = load_exported(path)
+    rays_o, rays_d, latents = _rays(16)
+    got = render(rays_o, rays_d, latents)
+    want = make_serving_fn(params, cfg, RS)(rays_o, rays_d, latents)
+    np.testing.assert_allclose(np.asarray(got["rgb_map"]),
+                               np.asarray(want["rgb_map"]), rtol=1e-6,
+                               atol=1e-6)
 
 
 def test_cross_platform_lowering(tmp_path):
