@@ -96,7 +96,6 @@ def load_example_subset(factor: int, num_frames: int):
 
 def precompute_rays(c2w: np.ndarray, intrin: dict) -> np.ndarray:
     """(F, h, w, 2, 3) ray origins+directions via the package's ray op."""
-    import jax
     from nonrigid_nerf_tpu.ops.rays import get_rays
     grids = []
     for pose in c2w:

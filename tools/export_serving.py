@@ -29,12 +29,19 @@ def main(argv=None):
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets, e.g. cpu,tpu "
                         "(default: current backend)")
+    # scene edits baked into the artifact (same semantics as the FVR CLI)
+    p.add_argument("--forced_background_stabilization", type=float,
+                   default=None)
+    p.add_argument("--motion_factor", type=float, default=None)
+    p.add_argument("--foreground_removal", type=float, default=None)
+    p.add_argument("--render_canonical", action="store_true")
     args = p.parse_args(argv)
 
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
     from free_viewpoint_rendering import load_experiment
-    from nonrigid_nerf_tpu.config import (model_config_from_args,
+    from nonrigid_nerf_tpu.config import (EditConfig,
+                                          model_config_from_args,
                                           render_settings_from_args)
     from nonrigid_nerf_tpu.serving import export_renderer, save_exported
 
@@ -43,11 +50,18 @@ def main(argv=None):
     far = float(extras["scripts_dict"]["far"])
     cfg = model_config_from_args(exp_args)
     rs = render_settings_from_args(exp_args, near, far)
+    edit = EditConfig(
+        rigidity_test_time_cutoff=args.forced_background_stabilization,
+        test_time_scaling=args.motion_factor,
+        nonrigid_object_removal_threshold=args.foreground_removal,
+        render_canonical=args.render_canonical)
 
     platforms = args.platforms.split(",") if args.platforms else None
     blob, meta = export_renderer(
-        params, cfg, rs, chunk=args.chunk, platforms=platforms,
-        extra_meta={"experiment": os.path.abspath(args.input)})
+        params, cfg, rs, chunk=args.chunk, platforms=platforms, edit=edit,
+        extra_meta={"experiment": os.path.abspath(args.input),
+                    "edit": {k: v for k, v in vars(edit).items()
+                             if v not in (None, False)}})
     save_exported(args.out, blob, meta)
     print(json.dumps({"out": args.out, "bytes": len(blob),
                       "chunk": meta["chunk"],
