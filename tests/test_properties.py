@@ -82,3 +82,69 @@ def test_raw2outputs_is_sub_probability(seed, n_samples, scale):
     # rgb is a weighted average of sigmoids => inside [0, acc]
     assert np.all(rgb >= -1e-5) and np.all(rgb <= acc[:, None] + 1e-4)
     assert np.all(np.isfinite(np.asarray(out.disp_map)))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint formats: any nested pytree of arrays (dicts / lists / tuples /
+# namedtuples) must round-trip EXACTLY, and the npz and orbax backends must
+# agree leaf-for-leaf (they share the flatten layer).
+# ---------------------------------------------------------------------------
+
+import collections
+import os
+
+_NT = collections.namedtuple("_NT", ["mu", "nu"])
+
+
+def _random_tree(rng, depth):
+    kind = rng.randint(0, 5) if depth > 0 else 4
+    if kind == 0:
+        return {f"k{i}": _random_tree(rng, depth - 1)
+                for i in range(rng.randint(1, 3))}
+    if kind == 1:
+        return [_random_tree(rng, depth - 1)
+                for _ in range(rng.randint(1, 3))]
+    if kind == 2:
+        return tuple(_random_tree(rng, depth - 1)
+                     for _ in range(rng.randint(1, 3)))
+    if kind == 3:
+        return _NT(_random_tree(rng, depth - 1),
+                   _random_tree(rng, depth - 1))
+    dtype = [np.float32, np.float64, np.int32][rng.randint(0, 3)]
+    shape = tuple(rng.randint(1, 4) for _ in range(rng.randint(0, 3)))
+    return np.asarray(100 * rng.randn(*shape)).astype(dtype)
+
+
+def _leaves_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        x, y = np.asarray(x), np.asarray(y)
+        assert x.dtype == y.dtype and x.shape == y.shape
+        np.testing.assert_array_equal(x, y)
+
+
+@settings(deadline=None, max_examples=10)
+@given(seed=st.integers(0, 2 ** 31 - 1))
+def test_checkpoint_formats_roundtrip_any_pytree(seed, tmp_path_factory):
+    import pytest as _pytest
+    _pytest.importorskip("orbax.checkpoint")
+    from nonrigid_nerf_tpu.checkpoints import (load_checkpoint,
+                                               save_checkpoint)
+    rng = np.random.RandomState(seed)
+    params = {"tree": _random_tree(rng, 3)}
+    opt = _NT(_random_tree(rng, 2), _random_tree(rng, 2))
+    extras = {"near": float(rng.rand()), "tags": ["a", "b"]}
+    tmp = tmp_path_factory.mktemp("ckpt_prop")
+    out = {}
+    for ext in ("npz", "orbax"):
+        path = os.path.join(tmp, f"c.{ext}")
+        save_checkpoint(path, 7, params, opt, extras)
+        step, p, o, e = load_checkpoint(path)
+        assert step == 7 and e == extras
+        _leaves_equal(p, params)
+        _leaves_equal(o, opt)
+        out[ext] = (p, o)
+    _leaves_equal(out["npz"][0], out["orbax"][0])
+    _leaves_equal(out["npz"][1], out["orbax"][1])
