@@ -105,9 +105,10 @@ def precompute_rays(c2w: np.ndarray, intrin: dict) -> np.ndarray:
 
 
 def make_batch(rng: np.random.RandomState, rays: np.ndarray,
-               images: np.ndarray, n_rand: int):
+               images: np.ndarray, n_rand: int, frame_pool=None):
     F, h, w = images.shape[:3]
-    img = rng.randint(0, F, size=n_rand)
+    pool = np.arange(F) if frame_pool is None else np.asarray(frame_pool)
+    img = pool[rng.randint(0, len(pool), size=n_rand)]
     x = rng.randint(0, w, size=n_rand)
     y = rng.randint(0, h, size=n_rand)
     ro = rays[img, y, x, 0]
@@ -151,7 +152,8 @@ def build_reference_side(steps_args: argparse.Namespace, num_frames: int,
 
 
 def torch_step(ref_train, args, rk_train, latents, optimizer, wrapper,
-               batch, global_step: int, num_frames: int):
+               batch, global_step: int, num_frames: int,
+               test_frame_mask=None):
     import torch
     img, ro, rd, target = batch
     pix = torch.tensor(
@@ -165,7 +167,26 @@ def torch_step(ref_train, args, rk_train, latents, optimizer, wrapper,
         torch.tensor(target), global_step, 0,
         {"imageid_to_timestepid": list(range(num_frames))}, pix)
     loss = losses.mean()
-    loss.backward()
+    if test_frame_mask is not None and test_frame_mask.any():
+        # the reference's two-phase backward (reference train.py:1594-1608):
+        # test-image rays first (latents only, wipe network grads), then
+        # training rays
+        test_ind = torch.tensor(test_frame_mask[img].astype(np.float64
+                                if losses.dtype == torch.float64
+                                else np.float32))
+        train_ind = 1.0 - test_ind
+        if torch.sum(test_ind) > 0:
+            (test_ind * losses).mean().backward(retain_graph=True)
+            for w in (list(rk_train["network_fn"].parameters())
+                      + list(rk_train["network_fine"].parameters())
+                      + list(rk_train["ray_bender"].parameters())):
+                w.grad = None
+        (train_ind * losses).mean().backward()
+        # report the train-masked mean, matching the production step's
+        # `loss` metric in split mode
+        loss = (train_ind * losses).sum() / torch.sum(train_ind)
+    else:
+        loss.backward()
     optimizer.step()
     # the reference updates the LR AFTER the step with the PRE-increment
     # global step (reference train.py:1631-1643, += 1 at :1952)
@@ -243,20 +264,24 @@ def build_jax_side(steps_args, rk_train, latents, near, far):
     ts_mod.sample_ray_batch = lambda key, ds, n_rand: ds
     step_fn = jax.jit(functools.partial(
         ts_mod.train_step, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
-        has_test_split=False, n_rand=steps_args.n_rand))
+        has_test_split=steps_args.test_frames > 0,
+        n_rand=steps_args.n_rand))
     return cfg, rs, state, step_fn, restore
 
 
-def jax_batch_dict(batch):
+def jax_batch_dict(batch, test_frame_mask=None):
     import jax.numpy as jnp
     img, ro, rd, target = batch
-    ones = np.ones(len(img), np.float32)
+    if test_frame_mask is None:
+        test = np.zeros(len(img), np.float32)
+    else:
+        test = test_frame_mask[img].astype(np.float32)
     return {
         "rays_o": jnp.asarray(ro), "rays_d": jnp.asarray(rd),
         "target_rgb": jnp.asarray(target),
         "image_ids": jnp.asarray(img), "timestep_ids": jnp.asarray(img),
-        "train_indicator": jnp.asarray(ones),
-        "test_indicator": jnp.asarray(1.0 - ones),
+        "train_indicator": jnp.asarray(1.0 - test),
+        "test_indicator": jnp.asarray(test),
     }
 
 
@@ -288,6 +313,12 @@ def run(argv=None):
                    help="steps over which the per-step loss gap is asserted "
                         "tight (before fp32 chaos separates trajectories)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test_frames", type=int, default=0,
+                   help="make the LAST N frames a held-out block: both "
+                        "sides run the reference's two-phase backward "
+                        "(test rays optimize latents only, reference "
+                        "train.py:1594-1608) and the probe PSNR is "
+                        "reported separately for train and test frames")
     p.add_argument("--divergence", choices=["exact", "approx"],
                    default="exact")
     p.add_argument("--out", default=os.path.join(REPO, "results",
@@ -324,30 +355,57 @@ def run(argv=None):
                 fine_model=rk_train["network_fine"],
                 ray_bender=rk_train["ray_bender"])
 
+            test_mask = None
+            train_pool = None
+            if args.test_frames > 0:
+                test_mask = np.zeros(args.frames, bool)
+                test_mask[-args.test_frames:] = True
+                train_pool = np.where(~test_mask)[0]
+
             rng = np.random.RandomState(args.seed + 1)
-            probe = make_batch(np.random.RandomState(args.seed + 2), rays,
-                               images, args.probe_rays)
+            probe_rng = np.random.RandomState(args.seed + 2)
+            probe = make_batch(probe_rng, rays, images, args.probe_rays,
+                               frame_pool=train_pool)
+            probe_test = None
+            if args.test_frames > 0:
+                probe_test = make_batch(probe_rng, rays, images,
+                                        args.probe_rays,
+                                        frame_pool=np.where(test_mask)[0])
 
             import jax
             loss_torch, loss_jax = [], []
-            evals = []  # (step, psnr_torch, psnr_jax)
+            evals = []       # (step, psnr_torch, psnr_jax) on train frames
+            evals_test = []  # same on held-out frames
             t_torch = t_jax = 0.0
             key = jax.random.PRNGKey(0)  # unused by the deterministic step
+
+            def run_probes(step):
+                pt = torch_probe_psnr(ref_train, rargs, rk_train, latents,
+                                      probe, args.frames)
+                pj = jax_probe_psnr(state.params, cfg, rs, probe)
+                evals.append((step, pt, pj))
+                msg = (f"step {step:5d}: probe PSNR torch={pt:.3f} "
+                       f"jax={pj:.3f} (gap {pj - pt:+.3f} dB)")
+                if probe_test is not None:
+                    qt = torch_probe_psnr(ref_train, rargs, rk_train,
+                                          latents, probe_test, args.frames)
+                    qj = jax_probe_psnr(state.params, cfg, rs, probe_test)
+                    evals_test.append((step, qt, qj))
+                    msg += (f" | held-out torch={qt:.3f} jax={qj:.3f} "
+                            f"(gap {qj - qt:+.3f} dB)")
+                print(msg, flush=True)
+
             for step in range(args.steps):
                 if step % args.eval_every == 0 or step == args.steps - 1:
-                    pt = torch_probe_psnr(ref_train, rargs, rk_train,
-                                          latents, probe, args.frames)
-                    pj = jax_probe_psnr(state.params, cfg, rs, probe)
-                    evals.append((step, pt, pj))
-                    print(f"step {step:5d}: probe PSNR torch={pt:.3f} "
-                          f"jax={pj:.3f} (gap {pj - pt:+.3f} dB)",
-                          flush=True)
+                    run_probes(step)
                 batch = make_batch(rng, rays, images, args.n_rand)
                 t0 = time.time()
                 lt = torch_step(ref_train, rargs, rk_train, latents,
-                                optimizer, wrapper, batch, step, args.frames)
+                                optimizer, wrapper, batch, step,
+                                args.frames, test_frame_mask=test_mask)
                 t1 = time.time()
-                state, metrics = step_fn(state, jax_batch_dict(batch), key)
+                state, metrics = step_fn(
+                    state, jax_batch_dict(batch, test_mask), key)
                 lj = float(metrics["loss"])
                 t2 = time.time()
                 t_torch += t1 - t0
@@ -358,12 +416,7 @@ def run(argv=None):
                     print(f"step {step:5d}: loss torch={lt:.6f} "
                           f"jax={lj:.6f}", flush=True)
 
-            pt = torch_probe_psnr(ref_train, rargs, rk_train, latents,
-                                  probe, args.frames)
-            pj = jax_probe_psnr(state.params, cfg, rs, probe)
-            evals.append((args.steps, pt, pj))
-            print(f"final: probe PSNR torch={pt:.3f} jax={pj:.3f} "
-                  f"(gap {pj - pt:+.3f} dB)", flush=True)
+            run_probes(args.steps)
         finally:
             for f in restore:
                 f()
@@ -386,6 +439,7 @@ def run(argv=None):
             "n_rand": args.n_rand, "n_samples": args.n_samples,
             "n_importance": args.n_importance,
             "divergence": args.divergence, "seed": args.seed,
+            "test_frames": args.test_frames,
             "near": near, "far": far,
             "resolution": list(images.shape[1:3]),
         },
@@ -400,13 +454,20 @@ def run(argv=None):
         "sec_per_step_torch_cpu": t_torch / args.steps,
         "sec_per_step_jax_cpu": t_jax / args.steps,
     }
+    if evals_test:
+        tail_t = [e[2] - e[1] for e in evals_test[-tail:]]
+        summary.update(
+            final_heldout_psnr_torch=evals_test[-1][1],
+            final_heldout_psnr_jax=evals_test[-1][2],
+            final_heldout_psnr_gap_db=evals_test[-1][2] - evals_test[-1][1],
+            mean_tail_heldout_psnr_gap_db=float(np.mean(tail_t)))
     print(json.dumps(summary, indent=2))
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "trajectory.json"), "w") as f:
         json.dump({**summary,
                    "loss_torch": loss_torch, "loss_jax": loss_jax,
-                   "evals": evals}, f)
+                   "evals": evals, "evals_test": evals_test}, f)
 
     if not args.no_plot:
         try:
@@ -424,6 +485,12 @@ def run(argv=None):
             ev = np.asarray(evals)
             ax1.plot(ev[:, 0], ev[:, 1], "o-", label="PyTorch reference")
             ax1.plot(ev[:, 0], ev[:, 2], "s--", label="nonrigid_nerf_tpu")
+            if evals_test:
+                et = np.asarray(evals_test)
+                ax1.plot(et[:, 0], et[:, 1], "o-", alpha=0.5,
+                         label="reference (held-out)")
+                ax1.plot(et[:, 0], et[:, 2], "s--", alpha=0.5,
+                         label="ours (held-out)")
             ax1.set_xlabel("step")
             ax1.set_ylabel("probe PSNR (dB)")
             ax1.legend()
