@@ -48,3 +48,26 @@ def test_ab_trajectory_tool_smoke(tmp_path):
     # production batch sampler and the divergence estimator while running)
     assert ts_mod.sample_ray_batch is sampler_before
     assert losses_mod.divergence_loss is div_before
+
+
+@requires_reference
+def test_ab_trajectory_block_split_mode(tmp_path):
+    """--test_frames engages the two-phase backward on both sides: the
+    held-out probe must be reported and the trajectories must track."""
+    if not (REFERENCE_DIR / "data" / "example_sequence"
+            / "precomputed.json").exists():
+        pytest.skip("no example_sequence data")
+    from tools.ab_reference_trajectory import run
+    summary = run([
+        "--steps", "3", "--frames", "3", "--factor", "16",
+        "--n_rand", "48", "--n_samples", "8", "--n_importance", "8",
+        "--eval_every", "3", "--probe_rays", "96", "--early_window", "3",
+        "--test_frames", "1", "--out", str(tmp_path), "--no_plot",
+    ])
+    assert summary["config"]["test_frames"] == 1
+    assert summary["early_median_rel_loss_gap"] < 1e-3
+    assert abs(summary["final_psnr_gap_db"]) < 0.05
+    assert abs(summary["final_heldout_psnr_gap_db"]) < 0.05
+    with open(os.path.join(tmp_path, "trajectory.json")) as f:
+        art = json.load(f)
+    assert len(art["evals_test"]) == len(art["evals"]) > 0
