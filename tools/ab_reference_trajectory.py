@@ -132,6 +132,8 @@ def build_reference_side(steps_args: argparse.Namespace, num_frames: int,
         workdir,
         N_samples=steps_args.n_samples, N_importance=steps_args.n_importance,
         N_rand=steps_args.n_rand, chunk=1 << 17, netchunk=1 << 19,
+        use_viewdirs=steps_args.use_viewdirs,
+        approx_nonrigid_viewdirs=not steps_args.exact_viewdirs,
         expname="ab_ref")
     torch.manual_seed(steps_args.seed)
     latents = [torch.zeros(args.ray_bending_latent_size, requires_grad=True)
@@ -233,6 +235,8 @@ def build_jax_side(steps_args, rk_train, latents, near, far):
 
     cfg = ModelConfig(N_samples=steps_args.n_samples,
                       N_importance=steps_args.n_importance,
+                      use_viewdirs=steps_args.use_viewdirs,
+                      approx_nonrigid_viewdirs=not steps_args.exact_viewdirs,
                       fused_kernel="off")
     rs = RenderSettings(N_samples=steps_args.n_samples,
                         N_importance=steps_args.n_importance,
@@ -321,6 +325,10 @@ def run(argv=None):
                         "reported separately for train and test frames")
     p.add_argument("--divergence", choices=["exact", "approx"],
                    default="exact")
+    p.add_argument("--use_viewdirs", action="store_true",
+                   help="view-direction conditioning (nonrigid FD dirs; "
+                        "--exact_viewdirs for the bending-Jacobian variant)")
+    p.add_argument("--exact_viewdirs", action="store_true")
     p.add_argument("--out", default=os.path.join(REPO, "results",
                                                  "r3_ab_trajectory"))
     p.add_argument("--no_plot", action="store_true")
@@ -440,6 +448,8 @@ def run(argv=None):
             "n_importance": args.n_importance,
             "divergence": args.divergence, "seed": args.seed,
             "test_frames": args.test_frames,
+            "use_viewdirs": args.use_viewdirs,
+            "exact_viewdirs": args.exact_viewdirs,
             "near": near, "far": far,
             "resolution": list(images.shape[1:3]),
         },
