@@ -56,6 +56,57 @@ def _reference_losses(data_dir):
     return losses
 
 
+# Failure signatures of jax.distributed/gloo bring-up (as opposed to a
+# genuine numerical or logic failure in the worker): worth one retry on a
+# fresh port, since a loaded host can miss the coordinator rendezvous.
+_BRINGUP_MARKERS = ("DEADLINE_EXCEEDED", "UNAVAILABLE", "Connection",
+                    "connection", "timed out", "Timed out", "barrier",
+                    "distributed.initialize", "Address already in use")
+
+
+def _spawn_workers(tmp_path, n_procs, devs_per_proc, data_dir, attempt):
+    """Run the worker fleet once; return (all_ok, diagnostics, out_paths)."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    outs = [str(tmp_path / f"out_a{attempt}_{i}.json")
+            for i in range(n_procs)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(n_procs), str(port),
+             str(devs_per_proc), data_dir, outs[i], str(N_STEPS)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(n_procs)]
+    logs = []
+    timed_out = False
+    for p in procs:
+        try:
+            # generous: 4 concurrent worker compiles under a fully loaded
+            # host (the whole suite + a training run) have been observed
+            # to exceed 420s
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            out, _ = p.communicate()
+            timed_out = True
+        logs.append(out.decode(errors="replace"))
+    diags = []
+    all_ok = not timed_out
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        if p.returncode != 0 or timed_out:
+            all_ok = False
+            err = ""
+            err_path = outs[i] + ".err"
+            if os.path.exists(err_path):
+                err = open(err_path).read()
+            diags.append(f"--- worker {i} rc={p.returncode} "
+                         f"timed_out={timed_out} ---\n"
+                         f"[log]\n{log[-3000:]}\n[err file]\n{err[-3000:]}")
+    return all_ok, "\n".join(diags), outs
+
+
 @pytest.mark.parametrize("n_procs,devs_per_proc", [(2, 4), (4, 2)],
                          ids=["2x4", "4x2"])
 def test_processes_match_single_process(tmp_path, n_procs, devs_per_proc):
@@ -71,31 +122,20 @@ def test_processes_match_single_process(tmp_path, n_procs, devs_per_proc):
 
     ref = _reference_losses(data_dir)
 
-    port = _free_port()
-    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    outs = [str(tmp_path / f"out{i}.json") for i in range(n_procs)]
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(n_procs), str(port),
-             str(devs_per_proc), data_dir, outs[i], str(N_STEPS)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(n_procs)]
-    logs = []
-    for p in procs:
-        try:
-            # generous: 4 concurrent worker compiles under a fully loaded
-            # host (the whole suite + a training run) have been observed
-            # to exceed 420s
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multihost worker timed out")
-        logs.append(out.decode(errors="replace"))
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, log[-3000:]
+    outs = None
+    for attempt in range(3):
+        ok, diags, outs = _spawn_workers(tmp_path, n_procs, devs_per_proc,
+                                         data_dir, attempt)
+        if ok:
+            break
+        # Only a bring-up-looking failure (or a silent death that produced
+        # no diagnostics at all — i.e. killed before Python ran) earns a
+        # retry on a fresh port; a real traceback fails immediately.
+        retryable = any(m in diags for m in _BRINGUP_MARKERS) or (
+            "[log]\n\n[err file]\n" in diags)
+        assert retryable and attempt < 2, (
+            f"multihost workers failed (attempt {attempt}, "
+            f"retryable={retryable}):\n{diags}")
 
     results = [json.load(open(o)) for o in outs]
     for r in results:
