@@ -84,6 +84,15 @@ class ModelConfig:
     # tighter HBM bandwidth per FLOP.
     fused_kernel: str = "auto"
 
+    # fine-pass reuse of the coarse samples' stage-1 (bend + encode) results
+    # (engine/render.py): the bend of a point is pass-independent, so only
+    # the NEW importance samples run the deformation field. False re-bends
+    # the coarse z_vals inside the fine pass like the reference
+    # (train.py:910-941) — a debugging/benchmarking knob, never needed for
+    # correctness (values and gradients are identical either way; pinned by
+    # tests/test_engine.py).
+    stage1_reuse: bool = True
+
     def __post_init__(self):
         if self.ray_bending in ("None", "none", ""):
             object.__setattr__(self, "ray_bending", None)

@@ -83,9 +83,51 @@ def _use_fused_kernel(cfg: ModelConfig, edit: EditConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def embed_for_mlp(cfg: ModelConfig, bent_pts, fused: bool):
+    """Positional encoding of bent points in the dtype the MLP stage
+    consumes (bf16 when the Pallas kernel runs; the cast fuses into the
+    encoding)."""
+    embedded = _embed_pts(cfg, bent_pts)
+    if fused:
+        embedded = embedded.astype(jnp.bfloat16)
+    return embedded
+
+
+def sample_viewdirs(params, cfg: ModelConfig, pts, stage1, viewdirs,
+                    edit: EditConfig = EditConfig()):
+    """Per-sample view directions (R, S, 3) for a block of sample points.
+
+    For bent rays the direction per sample differs from the straight ray
+    direction (reference: run_nerf_helpers.py:316-385): the approx variant
+    takes normalized backward finite differences between consecutive bent
+    samples (REQUIRES pts in ascending-z order along axis -2), the exact
+    variant is the bending Jacobian applied to the unbent direction in ONE
+    forward-mode jvp (pass- and order-independent).
+    """
+    bender = params.get("bender") if cfg.use_ray_bending else None
+    if bender is None or edit.render_canonical:
+        return jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+    if cfg.approx_nonrigid_viewdirs:
+        return _finite_difference_viewdirs(stage1["bent_pts"])
+    d = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+
+    def _bend(p):
+        return bend_points(
+            bender, p, stage1["latents_per_pt"],
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
+            test_time_scaling=edit.test_time_scaling,
+            activation=cfg.bending_activation)[0]
+
+    from nonrigid_nerf_tpu.ops.math import safe_norm
+    _, dd = jax.jvp(_bend, (pts,), (d,))
+    return dd / (safe_norm(dd, axis=-1, keepdims=True) + 1e-6)
+
+
 def bend_encode_stage(params, cfg: ModelConfig, pts, latents,
                       edit: EditConfig = EditConfig(),
-                      detailed: bool = False, fused: bool = False):
+                      detailed: bool = False, fused: bool = False,
+                      embed: bool = True):
     """Stage 1 of the point query: deformation field + positional encoding.
 
     This stage is NETWORK-INDEPENDENT — coarse and fine canonical MLPs
@@ -94,7 +136,10 @@ def bend_encode_stage(params, cfg: ModelConfig, pts, latents,
     (the reference re-bends + re-encodes the coarse z_vals a second time,
     train.py:910-941, purely for implementation simplicity).
 
-    pts (R, S, 3); latents (R, L) per ray. Returns a dict with:
+    pts (R, S, 3); latents (R, L) per ray. `embed=False` skips the positional
+    encoding (embedded=None) for callers that must encode in a different
+    sample order (the finite-difference-viewdirs fine pass sorts bent points
+    before encoding). Returns a dict with:
       embedded       (R, S, input_ch), bf16 when fused (the Pallas MLP
                      kernel consumes bf16; the cast fuses into the encoding)
       bent_pts       (R, S, 3)
@@ -129,14 +174,14 @@ def bend_encode_stage(params, cfg: ModelConfig, pts, latents,
         if detailed:
             details["input_pts"] = jax.lax.stop_gradient(pts)
 
-    if fused and _encode_in_kernel(cfg):
+    if not embed:
+        embedded = None
+    elif fused and _encode_in_kernel(cfg):
         # the MLP kernel encodes in VMEM (_mlpe_core): hand over the raw
         # bent points instead of materializing the (.., 63) encoding in HBM
         embedded = bent_pts
     else:
-        embedded = _embed_pts(cfg, bent_pts)
-        if fused:
-            embedded = embedded.astype(jnp.bfloat16)
+        embedded = embed_for_mlp(cfg, bent_pts, fused)
     return {"embedded": embedded, "bent_pts": bent_pts, "rigidity": rigidity,
             "latents_per_pt": latents_per_pt, "details": details}
 
@@ -269,30 +314,9 @@ def query_points(params, cfg: ModelConfig, pts, viewdirs, latents,
 
     embedded_views = None
     if cfg.use_viewdirs:
-        bender = params.get("bender") if cfg.use_ray_bending else None
-        if bender is not None and not edit.render_canonical:
-            if cfg.approx_nonrigid_viewdirs:
-                dirs = _finite_difference_viewdirs(st["bent_pts"])
-            else:
-                # exact: directional derivative of the bending map along the
-                # unbent ray direction, J_bend(x) @ d, in ONE forward-mode
-                # jvp (the reference needs 3 reverse passes,
-                # run_nerf_helpers.py:371-385)
-                d = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-
-                def _bend(p):
-                    return bend_points(
-                        bender, p, st["latents_per_pt"],
-                        compute_dtype=jnp.dtype(cfg.compute_dtype),
-                        rigidity_test_time_cutoff=edit.rigidity_test_time_cutoff,
-                        test_time_scaling=edit.test_time_scaling,
-                        activation=cfg.bending_activation)[0]
-
-                from nonrigid_nerf_tpu.ops.math import safe_norm
-                _, dd = jax.jvp(_bend, (pts,), (d,))
-                dirs = dd / (safe_norm(dd, axis=-1, keepdims=True) + 1e-6)
-        else:
-            dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+        # exact mode: J_bend(x) @ d in ONE forward-mode jvp (the reference
+        # needs 3 reverse passes, run_nerf_helpers.py:371-385)
+        dirs = sample_viewdirs(params, cfg, pts, st, viewdirs, edit)
         embedded_views = _embed_views(cfg, dirs)
 
     raw = canonical_mlp_stage(params, cfg, network, st, embedded_views,

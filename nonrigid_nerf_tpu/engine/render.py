@@ -19,9 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from nonrigid_nerf_tpu.config import EditConfig, ModelConfig, RenderSettings
-from nonrigid_nerf_tpu.engine.query import (bend_encode_stage,
+from nonrigid_nerf_tpu.engine.query import (_embed_views, bend_encode_stage,
                                             canonical_mlp_stage,
-                                            query_points, use_fused_kernel)
+                                            embed_for_mlp, query_points,
+                                            sample_viewdirs,
+                                            use_fused_kernel)
 from nonrigid_nerf_tpu.ops.compositing import raw2outputs
 from nonrigid_nerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
 
@@ -86,6 +88,14 @@ def _sort_merge_bwd(perm, cots):
 _sort_merge.defvjp(_sort_merge_fwd, _sort_merge_bwd)
 
 
+def stage1_reuse(cfg: ModelConfig) -> bool:
+    """Whether the fine pass reuses the coarse samples' stage-1 results
+    instead of re-running the deformation field on them (see render_rays).
+    Config-static so FLOP accounting (utils/flops.py) tracks the
+    implementation."""
+    return cfg.stage1_reuse
+
+
 def render_rays(params, cfg: ModelConfig, rs: RenderSettings,
                 rays_o, rays_d, latents, key: Optional[jax.Array] = None,
                 edit: EditConfig = EditConfig(), detailed: bool = False,
@@ -119,26 +129,41 @@ def render_rays(params, cfg: ModelConfig, rs: RenderSettings,
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
     # The deformation field + positional encoding (stage 1) is shared by the
-    # coarse and fine networks, and — without view directions — the raw
-    # output at a point does not depend on neighboring samples. So bend and
-    # encode each sample point ONCE: the fine pass below reuses the coarse
-    # samples' stage-1 results and only runs stage 1 on the NEW importance
-    # samples. The reference re-bends + re-encodes the coarse z_vals a
-    # second time inside the fine pass (train.py:910-941) purely for
-    # implementation simplicity; values and gradients are identical (one
-    # evaluation consumed by both compositions accumulates the same
-    # cotangents as two bit-identical evaluations). This cuts bend/encode
-    # work per step by 25% (256 -> 192 bend evaluations per ray).
+    # coarse and fine networks, and the raw output at a point does not
+    # depend on neighboring samples. So bend (and where possible encode)
+    # each sample point ONCE: the fine pass below reuses the coarse samples'
+    # stage-1 results and only runs stage 1 on the NEW importance samples.
+    # The reference re-bends + re-encodes the coarse z_vals a second time
+    # inside the fine pass (train.py:910-941) purely for implementation
+    # simplicity; values and gradients are identical (one evaluation
+    # consumed by both compositions accumulates the same cotangents as two
+    # bit-identical evaluations). This cuts bend work per step by 25%
+    # (256 -> 192 bend evaluations per ray). View directions do not break
+    # the reuse: the exact (bending-Jacobian) direction of a point is pass-
+    # independent, and the finite-difference directions need only the BENT
+    # points in z-sorted order, which the payload-carrying sort provides.
     fused = use_fused_kernel(cfg, edit)
-    reuse_stage1 = not cfg.use_viewdirs   # FD/exact viewdirs differ per pass
+    reuse = stage1_reuse(cfg)
+    # FD nonrigid dirs depend on sample ORDER: that fine pass sorts bent
+    # points before the MLP instead of sorting raw outputs after it
+    fd_nonrigid = (cfg.use_viewdirs and cfg.approx_nonrigid_viewdirs
+                   and cfg.use_ray_bending and not edit.render_canonical)
     fine_detailed = detailed if fine_detailed is None \
         else (fine_detailed and detailed)
 
-    if reuse_stage1:
+    if reuse:
         st = bend_encode_stage(params, cfg, pts, latents, edit, detailed,
                                fused)
-        raw = canonical_mlp_stage(params, cfg, "coarse", st, None, edit,
-                                  fused)
+        ev_coarse = None
+        dirs_coarse = None
+        if cfg.use_viewdirs:
+            # coarse z_vals are ascending by construction, so the FD
+            # variant is valid directly on the coarse bent points
+            dirs_coarse = sample_viewdirs(params, cfg, pts, st, viewdirs,
+                                          edit)
+            ev_coarse = _embed_views(cfg, dirs_coarse)
+        raw = canonical_mlp_stage(params, cfg, "coarse", st, ev_coarse,
+                                  edit, fused)
         details = st["details"]
     else:
         out = query_points(params, cfg, pts, viewdirs, latents, edit,
@@ -156,47 +181,93 @@ def render_rays(params, cfg: ModelConfig, rs: RenderSettings,
             rs.N_importance, det=(rs.perturb == 0.0))
         fine_net = "fine" if "fine" in params else "coarse"
 
-        if reuse_stage1:
+        if reuse:
             pts_new = (rays_o[..., None, :]
                        + rays_d[..., None, :] * z_samples[..., :, None])
+            # the FD-viewdirs fine pass encodes AFTER the sort (below), so
+            # the pre-sort encoding of the new points would be dead work
             st_new = bend_encode_stage(params, cfg, pts_new, latents,
-                                       edit, fine_detailed, fused)
+                                       edit, fine_detailed, fused,
+                                       embed=not fd_nonrigid)
             z_cat = jnp.concatenate([z_vals, z_samples], -1)
 
-            # The canonical MLP is POINTWISE, so the fine network runs on
-            # the UNSORTED [coarse..., importance...] union — the big
-            # embedded tensor is never permuted. Only the compact per-sample
-            # outputs (raw, and the detail channels when requested) ride
-            # through the payload-carrying sort that orders z for
-            # compositing.
             def cat(a, b):
                 return jnp.concatenate([a, b], axis=-2)
 
-            st_cat = {
-                "embedded": cat(st["embedded"], st_new["embedded"]),
-                "bent_pts": cat(st["bent_pts"], st_new["bent_pts"]),
-                "rigidity": (cat(st["rigidity"], st_new["rigidity"])
-                             if st["rigidity"] is not None else None),
-                "latents_per_pt": (
-                    jnp.broadcast_to(
-                        latents[..., None, :],
-                        z_cat.shape + (latents.shape[-1],))
-                    if st["latents_per_pt"] is not None else None),
-                "details": None,
-            }
-            raw_cat = canonical_mlp_stage(params, cfg, fine_net, st_cat,
-                                          None, edit, fused)
+            latents_cat = (
+                jnp.broadcast_to(latents[..., None, :],
+                                 z_cat.shape + (latents.shape[-1],))
+                if st["latents_per_pt"] is not None else None)
+            bent_cat = cat(st["bent_pts"], st_new["bent_pts"])
+            rigidity_cat = (cat(st["rigidity"], st_new["rigidity"])
+                            if st["rigidity"] is not None else None)
+            det_cat = None
             if fine_detailed:
                 det_cat = {k: cat(details[k], st_new["details"][k])
                            for k in st_new["details"]}
-                keys = sorted(det_cat)
-                merged = _sort_merge(z_cat, raw_cat,
-                                     *(det_cat[k] for k in keys))
-                z_all, raw_fine = merged[0], merged[1]
-                fine_details = dict(zip(keys, merged[2:]))
+
+            if fd_nonrigid:
+                # Finite-difference directions need the bent points in
+                # z-sorted order, so here the SORT comes first: bent points
+                # (3 ch), rigidity (1 ch), and any detail channels ride the
+                # payload-carrying sort, directions + encoding + MLP then
+                # run in sorted order and raw needs no further permutation.
+                # The bend of the coarse samples is still computed once.
+                payloads = [bent_cat]
+                if rigidity_cat is not None:
+                    payloads.append(rigidity_cat)
+                keys = sorted(det_cat) if det_cat is not None else []
+                payloads += [det_cat[k] for k in keys]
+                merged = _sort_merge(z_cat, *payloads)
+                z_all, bent_sorted = merged[0], merged[1]
+                rest = list(merged[2:])
+                rigidity_sorted = rest.pop(0) if rigidity_cat is not None \
+                    else None
+                fine_details = dict(zip(keys, rest)) if det_cat is not None \
+                    else None
+                st_sorted = {
+                    "embedded": embed_for_mlp(cfg, bent_sorted, fused),
+                    "bent_pts": bent_sorted,
+                    "rigidity": rigidity_sorted,
+                    "latents_per_pt": latents_cat,
+                    "details": None,
+                }
+                dirs = sample_viewdirs(params, cfg, bent_sorted, st_sorted,
+                                       viewdirs, edit)
+                raw_fine = canonical_mlp_stage(
+                    params, cfg, fine_net, st_sorted,
+                    _embed_views(cfg, dirs), edit, fused)
             else:
-                z_all, raw_fine = _sort_merge(z_cat, raw_cat)
-                fine_details = None
+                # The canonical MLP is POINTWISE (and exact/straight view
+                # directions are per-point, order-independent), so the fine
+                # network runs on the UNSORTED [coarse..., importance...]
+                # union — the big embedded tensor is never permuted. Only
+                # the compact per-sample outputs (raw, and the detail
+                # channels when requested) ride through the payload-carrying
+                # sort that orders z for compositing.
+                ev_cat = None
+                if cfg.use_viewdirs:
+                    dirs_new = sample_viewdirs(params, cfg, pts_new, st_new,
+                                               viewdirs, edit)
+                    ev_cat = _embed_views(cfg, cat(dirs_coarse, dirs_new))
+                st_cat = {
+                    "embedded": cat(st["embedded"], st_new["embedded"]),
+                    "bent_pts": bent_cat,
+                    "rigidity": rigidity_cat,
+                    "latents_per_pt": latents_cat,
+                    "details": None,
+                }
+                raw_cat = canonical_mlp_stage(params, cfg, fine_net, st_cat,
+                                              ev_cat, edit, fused)
+                if fine_detailed:
+                    keys = sorted(det_cat)
+                    merged = _sort_merge(z_cat, raw_cat,
+                                         *(det_cat[k] for k in keys))
+                    z_all, raw_fine = merged[0], merged[1]
+                    fine_details = dict(zip(keys, merged[2:]))
+                else:
+                    z_all, raw_fine = _sort_merge(z_cat, raw_cat)
+                    fine_details = None
         else:
             z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1),
                              axis=-1)

@@ -187,6 +187,53 @@ class TestRenderRays:
                 np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
                 err_msg=jax.tree_util.keystr(path))
 
+    @pytest.mark.parametrize("mode", ["fd", "exact", "nobender", "baseline"])
+    def test_stage1_reuse_matches_requery_viewdirs(self, mode):
+        """Viewdirs variants: the reuse fine pass (FD: sort-then-query;
+        exact/straight dirs: query-then-sort) must equal the full re-query
+        of the sorted z union (stage1_reuse=False, the reference-shaped
+        computation) in values AND gradients."""
+        import dataclasses
+        kw = dict(netdepth=2, netwidth=32, netdepth_fine=2, netwidth_fine=32,
+                  skips=(), N_samples=8, N_importance=8, use_viewdirs=True,
+                  bending_depth=3, bending_width=16, rigidity_depth=2,
+                  rigidity_width=8)
+        if mode == "fd":
+            kw.update(approx_nonrigid_viewdirs=True)
+        elif mode == "exact":
+            kw.update(approx_nonrigid_viewdirs=False)
+        elif mode == "nobender":
+            kw.update(ray_bending=None)
+        else:
+            kw.update(ray_bending=None, time_conditioned_baseline=True)
+        cfg = ModelConfig(**kw)
+        params = make_params(cfg, randomize_bender=True)
+        ro, rd, lat = make_ray_batch(8)
+        rs = RenderSettings(N_samples=8, N_importance=8, near=1.0, far=4.0,
+                            raw_noise_std=0.3)
+        key = jax.random.PRNGKey(3)
+        detailed = cfg.use_ray_bending
+
+        def losses(params, cfg):
+            out = render_rays(params, cfg, rs, ro, rd, lat, key=key,
+                              detailed=detailed)
+            total = jnp.sum(out["rgb_map"] ** 2) + jnp.sum(out["rgb0"] ** 2)
+            if detailed:
+                total = (total + jnp.sum(out["fine_unmasked_offsets"] ** 2)
+                         + jnp.sum(out["fine_rigidity_mask"]))
+            return total
+
+        val_new, g_new = jax.value_and_grad(losses)(params, cfg)
+        cfg_ref = dataclasses.replace(cfg, stage1_reuse=False)
+        val_ref, g_ref = jax.value_and_grad(losses)(params, cfg_ref)
+        np.testing.assert_allclose(float(val_new), float(val_ref), rtol=1e-6)
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g_ref)[0],
+                jax.tree_util.tree_flatten_with_path(g_new)[0]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
+                err_msg=jax.tree_util.keystr(path))
+
     def test_chunked_renderer_matches_single_block(self):
         params = make_params(SMALL)
         ro, rd, lat = make_ray_batch(n=37)
