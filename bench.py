@@ -84,6 +84,16 @@ def main():
     # headline: the DEFAULT config (reference-parity f32 bend/encoding
     # stage + the Pallas MLP kernel)
     rays_per_sec, steps_per_sec, state, metrics = measure_train(cfg)
+
+    # hardware-independent MFU accounting: static model FLOPs from the
+    # config (matmul FLOPs only, fwd+bwd = 3x fwd — see utils/flops.py for
+    # the conventions) against the chip's published bf16 peak
+    from nonrigid_nerf_tpu.utils.flops import (device_bf16_peak_tflops,
+                                               train_flops_per_ray)
+    flops_per_ray = train_flops_per_ray(
+        cfg, divergence_weight=tc.divergence_loss_weight)
+    model_tflops = rays_per_sec * flops_per_ray / 1e12
+    peak = device_bf16_peak_tflops(jax.devices()[0])
     # secondary: the documented bf16 activation mode (compute_dtype knob)
     import dataclasses
     rays_per_sec_bf16, _, _, _ = measure_train(
@@ -144,6 +154,17 @@ def main():
         "train_rays_per_sec_bf16": round(rays_per_sec_bf16, 1),
         "train_rays_per_sec_viewdirs": round(rays_per_sec_vd, 1),
         "train_rays_per_sec_block_split": round(rays_per_sec_split, 1),
+        # model-FLOP throughput (matmul FLOPs, fwd+bwd=3x, algorithmic work
+        # only — remat recompute excluded; see utils/flops.py)
+        "model_flops_per_train_ray": flops_per_ray,
+        "model_tflops_per_sec": round(model_tflops, 2),
+        "mfu_vs_bf16_peak": (round(model_tflops / peak, 4)
+                             if peak else None),
+        "bf16_peak_tflops": peak,
+        "model_tflops_per_sec_viewdirs": round(
+            rays_per_sec_vd * train_flops_per_ray(
+                dataclasses.replace(cfg, use_viewdirs=True),
+                divergence_weight=tc.divergence_loss_weight) / 1e12, 2),
         # the reference publishes no absolute numbers (BASELINE.md);
         # vs_baseline divides by the documented estimate below
         "baseline_estimated": True,
