@@ -162,6 +162,50 @@ class TestOrbaxCheckpointFormat:
             train_cli.main_function(args)
 
 
+class TestVideoArtifacts:
+    def test_i_video_writes_all_four_videos_and_final_trainset_pass(
+            self, tmp_path, monkeypatch):
+        """Every i_video interval writes rgb/disp/disp_jet/disp_phong mp4s,
+        and the LAST interval additionally renders the full training set
+        (reference: train.py:1736-1850). No ffmpeg in this image, so the
+        imageio mp4 writer is recorded instead of executed."""
+        import imageio.v2 as imageio_v2
+        written = []
+
+        def fake_mimwrite(path, frames, **kw):
+            written.append(os.path.basename(path))
+            # (T, H, W, 3) color or (T, H, W) grayscale disparity
+            assert np.asarray(frames).ndim in (3, 4)
+        monkeypatch.setattr(imageio_v2, "mimwrite", fake_mimwrite)
+
+        datadir = tmp_path / "data"
+        datadir.mkdir()
+        write_synthetic_sequence(str(datadir), n=4, H=10, W=12)
+        args = train_cli.parse_args([
+            "--datadir", str(datadir), "--rootdir", str(tmp_path / "exp"),
+            "--expname", "vid", "--ray_bending", "simple_neural",
+            "--netdepth", "2", "--netwidth", "32", "--netdepth_fine", "2",
+            "--netwidth_fine", "32", "--multires", "4", "--N_samples", "4",
+            "--N_importance", "4", "--N_rand", "16", "--N_iters", "4",
+            "--i_print", "4", "--i_weights", "99", "--i_video", "2",
+            "--i_testset", "999", "--factor", "1", "--seed", "0",
+            "--chunk", "64",
+            "--train_block_size", "2", "--test_block_size", "1"])
+        folder = os.path.join(args.rootdir, args.expname)
+        train_cli.create_folder(folder)
+        train_cli.main_function(args)
+
+        kinds = ("rgb.mp4", "disp.mp4", "disp_jet.mp4", "disp_phong.mp4")
+        for step in (2, 4):
+            for kind in kinds:
+                assert f"vid_spiral_{step:06d}_{kind}" in written, written
+        # the end-of-training trainset pass fires only on the LAST interval
+        # (i >= N_iters + 1 - i_video)
+        for kind in kinds:
+            assert f"vid_training_{4:06d}_{kind}" in written, written
+        assert not any(n.startswith("vid_training_000002") for n in written)
+
+
 class TestValidationImages:
     def test_i_img_renders_validation_views(self, tmp_path):
         """i_img > 0 periodically renders one held-out (or first train) view

@@ -150,6 +150,31 @@ def load_dataset(args: Args):
     return ds, images, poses, render_poses, intrinsics, extras, i_train, i_test
 
 
+def _write_videos(moviebase: str, rgbs: np.ndarray, disps: np.ndarray) -> None:
+    """The reference's four-video artifact set at an i_video checkpoint
+    (reference: train.py:1736-1781): rgb, disp (globally normalized),
+    disp_jet and disp_phong (both normalized PER FRAME, matching the
+    reference's `disp / np.max(disp)` inside the frame loop)."""
+    from nonrigid_nerf_tpu.ops.math import to8b
+    from nonrigid_nerf_tpu.utils.viz import (disparity_to_blinn_phong,
+                                             disparity_to_jet)
+    try:
+        import imageio.v2 as imageio
+        imageio.mimwrite(moviebase + "rgb.mp4", to8b(rgbs), fps=30, quality=8)
+        imageio.mimwrite(moviebase + "disp.mp4",
+                         to8b(disps / np.max(disps)), fps=30, quality=8)
+        imageio.mimwrite(
+            moviebase + "disp_jet.mp4",
+            to8b(np.stack([disparity_to_jet(d / np.max(d))
+                           for d in disps])), fps=30, quality=8)
+        imageio.mimwrite(
+            moviebase + "disp_phong.mp4",
+            to8b(np.stack([disparity_to_blinn_phong(d / np.max(d))
+                           for d in disps])), fps=30, quality=8)
+    except Exception as e:
+        print("video write failed (ffmpeg missing?):", e)
+
+
 def main_function(args: Args) -> None:
     # multi-host bring-up must precede the first jax backend use
     from nonrigid_nerf_tpu.parallel import multihost
@@ -180,7 +205,6 @@ def main_function(args: Args) -> None:
     from nonrigid_nerf_tpu.ops.rays import get_rays
     from nonrigid_nerf_tpu.parallel import (make_mesh,
                                             make_parallel_train_step)
-    from nonrigid_nerf_tpu.utils.viz import disparity_to_jet
     from nonrigid_nerf_tpu.utils.volume import determine_nerf_volume_extent
 
     if args.debug:
@@ -402,21 +426,25 @@ def main_function(args: Args) -> None:
                 video_params, cfg, rs, video_poses[:, :3, :4],
                 [intrinsics[0]] * len(video_poses), frame_latents,
                 chunk=args.chunk, render_factor=args.render_factor)
-            moviebase = os.path.join(
-                logdir, f"{args.expname}_spiral_{i:06d}_")
-            try:
-                import imageio.v2 as imageio
-                imageio.mimwrite(moviebase + "rgb.mp4", to8b(rgbs), fps=30,
-                                 quality=8)
-                imageio.mimwrite(moviebase + "disp.mp4",
-                                 to8b(disps / np.max(disps)), fps=30,
-                                 quality=8)
-                imageio.mimwrite(
-                    moviebase + "disp_jet.mp4",
-                    to8b(np.stack([disparity_to_jet(d / np.max(disps))
-                                   for d in disps])), fps=30, quality=8)
-            except Exception as e:
-                print("video write failed (ffmpeg missing?):", e)
+            _write_videos(
+                os.path.join(logdir, f"{args.expname}_spiral_{i:06d}_"),
+                rgbs, disps)
+
+            # end-of-training full-training-set render (reference:
+            # train.py:1782-1850, gated on the LAST i_video interval)
+            if i >= args.N_iters + 1 - args.i_video:
+                print("rendering full training set...", flush=True)
+                latents_np = np.asarray(video_params["latents"])
+                rgbs, disps = render_path(
+                    video_params, cfg, rs, poses[i_train][:, :3, :4],
+                    [intrinsics[extras["imageid_to_viewid"][j]]
+                     for j in i_train],
+                    np.stack([latents_np[extras["imageid_to_timestepid"][j]]
+                              for j in i_train]),
+                    chunk=args.chunk, render_factor=args.render_factor)
+                _write_videos(
+                    os.path.join(logdir, f"{args.expname}_training_{i:06d}_"),
+                    rgbs, disps)
 
         if i % args.i_testset == 0 and i > 0 and main:
             trainsubsavedir = os.path.join(logdir, f"trainsubset_{i:06d}")
