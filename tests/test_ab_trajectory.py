@@ -51,6 +51,30 @@ def test_ab_trajectory_tool_smoke(tmp_path):
 
 
 @requires_reference
+def test_ab_trajectory_multiview_mode(tmp_path):
+    """--multiview drives a calibration.json rig through both frameworks:
+    per-view intrinsics and latent sharing across views within a timestep
+    (reference: load_llff.py:36-73, train.py:1222-1322)."""
+    from tools.make_multiview_dataset import main as make_ds
+    ds_dir = str(tmp_path / "mv")
+    make_ds(["--out", ds_dir, "--views", "2", "--timesteps", "3",
+             "--height", "24", "--width", "32"])
+
+    from tools.ab_reference_trajectory import run
+    summary = run([
+        "--steps", "4", "--multiview", ds_dir,
+        "--n_rand", "48", "--n_samples", "8", "--n_importance", "8",
+        "--eval_every", "4", "--probe_rays", "128", "--early_window", "4",
+        "--out", str(tmp_path / "out"), "--no_plot",
+    ])
+    assert summary["config"]["multiview"] is True
+    assert summary["config"]["num_latents"] == 3   # timesteps, not images
+    assert summary["early_median_rel_loss_gap"] < 1e-3
+    assert summary["early_max_rel_loss_gap"] < 5e-2
+    assert abs(summary["final_psnr_gap_db"]) < 0.05
+
+
+@requires_reference
 def test_ab_trajectory_block_split_mode(tmp_path):
     """--test_frames engages the two-phase backward on both sides: the
     held-out probe must be reported and the trajectories must track."""

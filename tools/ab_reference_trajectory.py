@@ -94,12 +94,35 @@ def load_example_subset(factor: int, num_frames: int):
     return images, c2w, intrin, near, far
 
 
-def precompute_rays(c2w: np.ndarray, intrin: dict) -> np.ndarray:
-    """(F, h, w, 2, 3) ray origins+directions via the package's ray op."""
+def load_multiview_dataset(datadir: str):
+    """A calibration.json multi-view rig (reference: load_llff.py:36-73 +
+    train.py:1222-1322): per-image poses from per-camera extrinsics,
+    per-VIEW intrinsics, image->timestep mapping (latents are shared across
+    views within a timestep), bounds from the calibration file."""
+    from nonrigid_nerf_tpu.data import (get_intrinsics,
+                                        get_multi_view_mappings,
+                                        load_llff_data_multi_view)
+    images, poses, bds, _, _ = load_llff_data_multi_view(datadir, factor=1)
+    extras = get_multi_view_mappings(len(images), datadir)
+    intrin = get_intrinsics(datadir, extras, images, poses[0, :, 4])
+    per_image_intrin = [intrin[extras["imageid_to_viewid"][i]]
+                        for i in range(len(images))]
+    img2t = np.asarray(extras["imageid_to_timestepid"])
+    near = float(bds.min()) * 0.9
+    far = float(bds.max())
+    return (images.astype(np.float32), poses[:, :3, :4], per_image_intrin,
+            near, far, img2t)
+
+
+def precompute_rays(c2w: np.ndarray, intrin) -> np.ndarray:
+    """(F, h, w, 2, 3) ray origins+directions via the package's ray op.
+    `intrin` is one shared dict (monocular) or a per-image list (multiview)."""
     from nonrigid_nerf_tpu.ops.rays import get_rays
+    if isinstance(intrin, dict):
+        intrin = [intrin] * len(c2w)
     grids = []
-    for pose in c2w:
-        ro, rd = get_rays(pose, intrin)
+    for pose, cam in zip(c2w, intrin):
+        ro, rd = get_rays(pose, cam)
         grids.append(np.stack([np.asarray(ro), np.asarray(rd)], axis=2))
     return np.stack(grids)
 
@@ -122,7 +145,7 @@ def make_batch(rng: np.random.RandomState, rays: np.ndarray,
 # torch (reference) side
 # ---------------------------------------------------------------------------
 
-def build_reference_side(steps_args: argparse.Namespace, num_frames: int,
+def build_reference_side(steps_args: argparse.Namespace, num_latents: int,
                          near: float, far: float, workdir: str):
     import torch
     from tests.test_reference_e2e import (load_ref_train_module,
@@ -136,8 +159,10 @@ def build_reference_side(steps_args: argparse.Namespace, num_frames: int,
         approx_nonrigid_viewdirs=not steps_args.exact_viewdirs,
         expname="ab_ref")
     torch.manual_seed(steps_args.seed)
+    # one latent per TIMESTEP (== per frame only in the monocular case;
+    # reference: train.py:1447-1453)
     latents = [torch.zeros(args.ray_bending_latent_size, requires_grad=True)
-               for _ in range(num_frames)]
+               for _ in range(num_latents)]
     (rk_train, rk_test, start, grad_vars, optimizer) = ref_train.create_nerf(
         args, latents, ignore_optimizer=False)
     rk_train.update({"near": near, "far": far})
@@ -154,7 +179,7 @@ def build_reference_side(steps_args: argparse.Namespace, num_frames: int,
 
 
 def torch_step(ref_train, args, rk_train, latents, optimizer, wrapper,
-               batch, global_step: int, num_frames: int,
+               batch, global_step: int, img2t: np.ndarray,
                test_frame_mask=None):
     import torch
     img, ro, rd, target = batch
@@ -167,7 +192,7 @@ def torch_step(ref_train, args, rk_train, latents, optimizer, wrapper,
     losses = wrapper(
         args, torch.tensor(ro), torch.tensor(rd), global_step, rk_train,
         torch.tensor(target), global_step, 0,
-        {"imageid_to_timestepid": list(range(num_frames))}, pix)
+        {"imageid_to_timestepid": [int(t) for t in img2t]}, pix)
     loss = losses.mean()
     if test_frame_mask is not None and test_frame_mask.any():
         # the reference's two-phase backward (reference train.py:1594-1608):
@@ -202,11 +227,11 @@ def torch_step(ref_train, args, rk_train, latents, optimizer, wrapper,
 
 
 def torch_probe_psnr(ref_train, args, rk_train, latents, probe,
-                     num_frames: int) -> float:
+                     img2t: np.ndarray) -> float:
     import torch
     img, ro, rd, target = probe
     with torch.no_grad():
-        lat = torch.stack([latents[i].detach() for i in img])
+        lat = torch.stack([latents[img2t[i]].detach() for i in img])
         rk = dict(rk_train)
         rk.update(perturb=0.0, raw_noise_std=0.0)
         rgb, _, _, _ = ref_train.render(
@@ -273,7 +298,7 @@ def build_jax_side(steps_args, rk_train, latents, near, far):
     return cfg, rs, state, step_fn, restore
 
 
-def jax_batch_dict(batch, test_frame_mask=None):
+def jax_batch_dict(batch, img2t, test_frame_mask=None):
     import jax.numpy as jnp
     img, ro, rd, target = batch
     if test_frame_mask is None:
@@ -283,18 +308,19 @@ def jax_batch_dict(batch, test_frame_mask=None):
     return {
         "rays_o": jnp.asarray(ro), "rays_d": jnp.asarray(rd),
         "target_rgb": jnp.asarray(target),
-        "image_ids": jnp.asarray(img), "timestep_ids": jnp.asarray(img),
+        "image_ids": jnp.asarray(img),
+        "timestep_ids": jnp.asarray(img2t[img]),
         "train_indicator": jnp.asarray(1.0 - test),
         "test_indicator": jnp.asarray(test),
     }
 
 
-def jax_probe_psnr(params, cfg, rs, probe) -> float:
+def jax_probe_psnr(params, cfg, rs, probe, img2t) -> float:
     import jax
     import jax.numpy as jnp
     from nonrigid_nerf_tpu.engine.render import render_rays
     img, ro, rd, target = probe
-    lat = params["latents"][jnp.asarray(img)]
+    lat = params["latents"][jnp.asarray(img2t[img])]
     out = render_rays(params, cfg, rs, jnp.asarray(ro), jnp.asarray(rd),
                       lat, key=None)
     mse = float(jnp.mean((out["rgb_map"] - jnp.asarray(target)) ** 2))
@@ -329,6 +355,13 @@ def run(argv=None):
                    help="view-direction conditioning (nonrigid FD dirs; "
                         "--exact_viewdirs for the bending-Jacobian variant)")
     p.add_argument("--exact_viewdirs", action="store_true")
+    p.add_argument("--multiview", default=None, metavar="DIR",
+                   help="A/B a calibration.json multi-view rig from DIR "
+                        "(e.g. tools/make_multiview_dataset.py output) "
+                        "instead of the monocular example_sequence: "
+                        "per-view intrinsics, image->timestep latent "
+                        "sharing (reference: load_llff.py:36-73, "
+                        "train.py:1222-1322); --factor/--frames are ignored")
     p.add_argument("--out", default=os.path.join(REPO, "results",
                                                  "r3_ab_trajectory"))
     p.add_argument("--no_plot", action="store_true")
@@ -343,8 +376,19 @@ def run(argv=None):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    images, c2w, intrin, near, far = load_example_subset(
-        args.factor, args.frames)
+    if args.multiview:
+        images, c2w, intrin, near, far, img2t = load_multiview_dataset(
+            args.multiview)
+        args.frames = len(images)
+        num_latents = int(img2t.max()) + 1
+        print(f"multi-view data: {len(images)} images = "
+              f"{len(set(np.asarray(img2t)))} timesteps x "
+              f"{len(images) // num_latents} views", flush=True)
+    else:
+        images, c2w, intrin, near, far = load_example_subset(
+            args.factor, args.frames)
+        img2t = np.arange(args.frames)
+        num_latents = args.frames
     print(f"data: {images.shape[0]} frames at "
           f"{images.shape[1]}x{images.shape[2]}, near={near:.3f} "
           f"far={far:.3f}", flush=True)
@@ -353,7 +397,7 @@ def run(argv=None):
     restore = []
     with tempfile.TemporaryDirectory() as workdir:
         ref_train, rargs, rk_train, latents, optimizer, restore_t = \
-            build_reference_side(args, args.frames, near, far, workdir)
+            build_reference_side(args, num_latents, near, far, workdir)
         cfg, rs, state, step_fn, restore_j = build_jax_side(
             args, rk_train, latents, near, far)
         restore = restore_t + restore_j
@@ -366,6 +410,8 @@ def run(argv=None):
             test_mask = None
             train_pool = None
             if args.test_frames > 0:
+                assert not args.multiview, \
+                    "--test_frames is a monocular-mode option"
                 test_mask = np.zeros(args.frames, bool)
                 test_mask[-args.test_frames:] = True
                 train_pool = np.where(~test_mask)[0]
@@ -389,15 +435,16 @@ def run(argv=None):
 
             def run_probes(step):
                 pt = torch_probe_psnr(ref_train, rargs, rk_train, latents,
-                                      probe, args.frames)
-                pj = jax_probe_psnr(state.params, cfg, rs, probe)
+                                      probe, img2t)
+                pj = jax_probe_psnr(state.params, cfg, rs, probe, img2t)
                 evals.append((step, pt, pj))
                 msg = (f"step {step:5d}: probe PSNR torch={pt:.3f} "
                        f"jax={pj:.3f} (gap {pj - pt:+.3f} dB)")
                 if probe_test is not None:
                     qt = torch_probe_psnr(ref_train, rargs, rk_train,
-                                          latents, probe_test, args.frames)
-                    qj = jax_probe_psnr(state.params, cfg, rs, probe_test)
+                                          latents, probe_test, img2t)
+                    qj = jax_probe_psnr(state.params, cfg, rs, probe_test,
+                                        img2t)
                     evals_test.append((step, qt, qj))
                     msg += (f" | held-out torch={qt:.3f} jax={qj:.3f} "
                             f"(gap {qj - qt:+.3f} dB)")
@@ -410,10 +457,10 @@ def run(argv=None):
                 t0 = time.time()
                 lt = torch_step(ref_train, rargs, rk_train, latents,
                                 optimizer, wrapper, batch, step,
-                                args.frames, test_frame_mask=test_mask)
+                                img2t, test_frame_mask=test_mask)
                 t1 = time.time()
                 state, metrics = step_fn(
-                    state, jax_batch_dict(batch, test_mask), key)
+                    state, jax_batch_dict(batch, img2t, test_mask), key)
                 lj = float(metrics["loss"])
                 t2 = time.time()
                 t_torch += t1 - t0
@@ -448,6 +495,8 @@ def run(argv=None):
             "n_importance": args.n_importance,
             "divergence": args.divergence, "seed": args.seed,
             "test_frames": args.test_frames,
+            "multiview": bool(args.multiview),
+            "num_latents": int(num_latents),
             "use_viewdirs": args.use_viewdirs,
             "exact_viewdirs": args.exact_viewdirs,
             "near": near, "far": far,

@@ -91,14 +91,14 @@ def render_frame(R, pos, H, W, fx, fy, cx, cy, t_frac):
     return np.clip(color, 0.0, 1.0)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--views", type=int, default=3)
     ap.add_argument("--timesteps", type=int, default=30)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=512)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import imageio.v2 as imageio
     H, W = args.height, args.width
