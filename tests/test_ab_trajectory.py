@@ -51,6 +51,35 @@ def test_ab_trajectory_tool_smoke(tmp_path):
 
 
 @requires_reference
+def test_ab_trajectory_handover_mode(tmp_path):
+    """--handover N: the reference trains alone for N steps, its tar is
+    imported through interop, and the continued trajectories must track —
+    the split-brain mid-training handover claim."""
+    if not (REFERENCE_DIR / "data" / "example_sequence"
+            / "precomputed.json").exists():
+        pytest.skip("no example_sequence data")
+    from tools.ab_reference_trajectory import run
+    summary = run([
+        "--steps", "6", "--handover", "3", "--frames", "3", "--factor", "16",
+        "--n_rand", "48", "--n_samples", "8", "--n_importance", "8",
+        "--eval_every", "3", "--probe_rays", "128", "--early_window", "3",
+        "--out", str(tmp_path), "--no_plot",
+    ])
+    assert summary["handover"] == 3
+    # the continued trajectories must track at the same f32 tolerance as
+    # the from-init A/B (the import is bit-exact on params; Adam state maps
+    # one-to-one)
+    assert summary["early_median_rel_loss_gap"] < 1e-3
+    assert summary["early_max_rel_loss_gap"] < 5e-2
+    assert abs(summary["final_psnr_gap_db"]) < 0.05
+
+    with open(os.path.join(tmp_path, "trajectory.json")) as f:
+        art = json.load(f)
+    assert len(art["loss_torch"]) == 6
+    assert len(art["loss_jax"]) == 3   # continuation only
+
+
+@requires_reference
 def test_ab_trajectory_multiview_mode(tmp_path):
     """--multiview drives a calibration.json rig through both frameworks:
     per-view intrinsics and latent sharing across views within a timestep

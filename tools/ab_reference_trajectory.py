@@ -295,7 +295,42 @@ def build_jax_side(steps_args, rk_train, latents, near, far):
         ts_mod.train_step, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
         has_test_split=steps_args.test_frames > 0,
         n_rand=steps_args.n_rand))
-    return cfg, rs, state, step_fn, restore
+    return cfg, rs, state, step_fn, optimizer, restore
+
+
+def import_reference_state(rk_train, latents, optimizer_t, step: int,
+                           optimizer_j):
+    """Split-brain handover: write a REAL reference-format tar (the exact
+    dict the reference saves, train.py:1668-1705), then import it through
+    the production interop path (tar -> params + Adam state -> TrainState).
+    This is the 'continue a half-trained reference experiment here' move,
+    exercised mid-trajectory."""
+    import tempfile
+
+    import torch
+    from nonrigid_nerf_tpu import interop
+    from nonrigid_nerf_tpu.engine.train_state import TrainState
+
+    with tempfile.TemporaryDirectory() as td:
+        tar = os.path.join(td, f"{step:06d}.tar")
+        torch.save({
+            "global_step": step,
+            "network_fn_state_dict": rk_train["network_fn"].state_dict(),
+            "network_fine_state_dict":
+                rk_train["network_fine"].state_dict(),
+            "ray_bender_state_dict": rk_train["ray_bender"].state_dict(),
+            "optimizer_state_dict": optimizer_t.state_dict(),
+            "ray_bending_latent_codes":
+                torch.stack([l.detach() for l in latents]),
+            "intrinsics": {}, "scripts_dict": {}, "dataset_extras": {},
+        }, tar)
+        ckpt = interop.load_reference_tar(tar)
+    params, info = interop.params_from_reference_tar(ckpt)
+    assert info["global_step"] == step
+    opt_state = interop.opt_state_from_reference_tar(ckpt, params, info,
+                                                     optimizer_j)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=np.int32(step))
 
 
 def jax_batch_dict(batch, img2t, test_frame_mask=None):
@@ -355,6 +390,14 @@ def run(argv=None):
                    help="view-direction conditioning (nonrigid FD dirs; "
                         "--exact_viewdirs for the bending-Jacobian variant)")
     p.add_argument("--exact_viewdirs", action="store_true")
+    p.add_argument("--handover", type=int, default=0, metavar="N",
+                   help="split-brain interop mode: the REFERENCE alone "
+                        "trains the first N steps, its checkpoint is then "
+                        "written in the reference tar format and imported "
+                        "through nonrigid_nerf_tpu.interop, and BOTH sides "
+                        "continue to --steps; gaps are reported over the "
+                        "continuation window (reference checkpoint "
+                        "contract: train.py:1668-1705)")
     p.add_argument("--multiview", default=None, metavar="DIR",
                    help="A/B a calibration.json multi-view rig from DIR "
                         "(e.g. tools/make_multiview_dataset.py output) "
@@ -398,7 +441,7 @@ def run(argv=None):
     with tempfile.TemporaryDirectory() as workdir:
         ref_train, rargs, rk_train, latents, optimizer, restore_t = \
             build_reference_side(args, num_latents, near, far, workdir)
-        cfg, rs, state, step_fn, restore_j = build_jax_side(
+        cfg, rs, state, step_fn, optimizer_j, restore_j = build_jax_side(
             args, rk_train, latents, near, far)
         restore = restore_t + restore_j
         try:
@@ -450,8 +493,18 @@ def run(argv=None):
                             f"(gap {qj - qt:+.3f} dB)")
                 print(msg, flush=True)
 
+            jax_active = args.handover == 0
             for step in range(args.steps):
-                if step % args.eval_every == 0 or step == args.steps - 1:
+                if args.handover and step == args.handover:
+                    # the reference has completed `handover` steps; write
+                    # its tar and import it into the production TrainState
+                    state = import_reference_state(
+                        rk_train, latents, optimizer, step, optimizer_j)
+                    jax_active = True
+                    print(f"step {step:5d}: handover — reference tar "
+                          f"imported, both sides continue", flush=True)
+                if jax_active and (step % args.eval_every == 0
+                                   or step == args.steps - 1):
                     run_probes(step)
                 batch = make_batch(rng, rays, images, args.n_rand)
                 t0 = time.time()
@@ -459,15 +512,16 @@ def run(argv=None):
                                 optimizer, wrapper, batch, step,
                                 img2t, test_frame_mask=test_mask)
                 t1 = time.time()
+                loss_torch.append(lt)
+                t_torch += t1 - t0
+                if not jax_active:
+                    continue
                 state, metrics = step_fn(
                     state, jax_batch_dict(batch, img2t, test_mask), key)
                 lj = float(metrics["loss"])
-                t2 = time.time()
-                t_torch += t1 - t0
-                t_jax += t2 - t1
-                loss_torch.append(lt)
+                t_jax += time.time() - t1
                 loss_jax.append(lj)
-                if step < 5 or step % 100 == 0:
+                if step - args.handover < 5 or step % 100 == 0:
                     print(f"step {step:5d}: loss torch={lt:.6f} "
                           f"jax={lj:.6f}", flush=True)
 
@@ -476,9 +530,11 @@ def run(argv=None):
             for f in restore:
                 f()
 
-    lt = np.asarray(loss_torch)
+    # with --handover the jax trajectory exists only from step `handover`
+    # on; gaps are computed over the aligned continuation window
+    lt = np.asarray(loss_torch)[args.handover:]
     lj = np.asarray(loss_jax)
-    w = min(args.early_window, args.steps)
+    w = min(args.early_window, len(lj))
     early_rel = np.abs(lt[:w] - lj[:w]) / np.abs(lt[:w])
     # the max is dominated by the known 1/pdf-amplified rounding outliers
     # (see tests/test_reference_e2e.py TOL comment); the median is the
@@ -510,8 +566,9 @@ def run(argv=None):
         "final_psnr_gap_db": evals[-1][2] - evals[-1][1],
         "tail_psnr_gaps_db": tail_gaps,
         "mean_tail_psnr_gap_db": float(np.mean(tail_gaps)),
+        "handover": args.handover,
         "sec_per_step_torch_cpu": t_torch / args.steps,
-        "sec_per_step_jax_cpu": t_jax / args.steps,
+        "sec_per_step_jax_cpu": t_jax / max(len(lj), 1),
     }
     if evals_test:
         tail_t = [e[2] - e[1] for e in evals_test[-tail:]]
@@ -534,9 +591,12 @@ def run(argv=None):
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
             fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(11, 4))
-            xs = np.arange(len(lt))
+            xs = args.handover + np.arange(len(lt))
             ax0.plot(xs, lt, label="PyTorch reference", lw=1.0)
-            ax0.plot(xs, lj, label="nonrigid_nerf_tpu", lw=1.0, ls="--")
+            ax0.plot(xs[:len(lj)], lj, label="nonrigid_nerf_tpu", lw=1.0,
+                     ls="--")
+            if args.handover:
+                ax0.axvline(args.handover, color="k", lw=0.8, ls=":")
             ax0.set_yscale("log")
             ax0.set_xlabel("step")
             ax0.set_ylabel("total training loss")
