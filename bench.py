@@ -99,9 +99,13 @@ def main():
     rays_per_sec_bf16, _, _, _ = measure_train(
         dataclasses.replace(cfg, compute_dtype="bfloat16"), n_steps=300)
     # secondary: view-direction conditioning (the reference's +20-35%
-    # overhead mode, README.md:128) through the viewdirs MLP kernel
+    # overhead mode, README.md:128) through the viewdirs MLP kernel,
+    # both the FD (approx) and bending-Jacobian (exact) variants
     rays_per_sec_vd, _, _, _ = measure_train(
         dataclasses.replace(cfg, use_viewdirs=True), n_steps=300)
+    rays_per_sec_vde, _, _, _ = measure_train(
+        dataclasses.replace(cfg, use_viewdirs=True,
+                            approx_nonrigid_viewdirs=False), n_steps=300)
     # secondary: train/test block-split mode (two-phase backward; the
     # reference documents ~30% slowdown for test-latent optimization,
     # README.md:137 — the extra cost here is exactly one more backward
@@ -153,6 +157,7 @@ def main():
         "render_rays_per_sec": round(render_rays_per_sec, 1),
         "train_rays_per_sec_bf16": round(rays_per_sec_bf16, 1),
         "train_rays_per_sec_viewdirs": round(rays_per_sec_vd, 1),
+        "train_rays_per_sec_viewdirs_exact": round(rays_per_sec_vde, 1),
         "train_rays_per_sec_block_split": round(rays_per_sec_split, 1),
         # model-FLOP throughput (matmul FLOPs, fwd+bwd=3x, algorithmic work
         # only — remat recompute excluded; see utils/flops.py)
