@@ -162,6 +162,25 @@ class TestOrbaxCheckpointFormat:
             train_cli.main_function(args)
 
 
+class TestProbeOffsets:
+    def test_probe_reports_offset_statistics(self, experiment, tmp_path):
+        """tools/probe_offsets.py: per-timestep offset/rigidity statistics
+        over the trained volume extent (the quantitative basis of the
+        rigid-scene robustness claim in results/r4_robustness)."""
+        _, args, folder = experiment
+        from tools.probe_offsets import main as probe
+        out = probe([folder, "--grid", "5",
+                     "--out", str(tmp_path / "probe.json")])
+        assert out["step"] == 8
+        assert len(out["per_timestep"]) == 4            # one per latent
+        assert np.isfinite(out["mean_offset"])
+        assert 0.0 <= out["per_timestep"][0]["mean_rigidity"] <= 1.0
+        # 8 steps from the zero-init bending layer: offsets must be tiny
+        # relative to the probed volume
+        assert out["mean_offset_rel_diag"] < 0.05
+        assert os.path.exists(tmp_path / "probe.json")
+
+
 class TestVideoArtifacts:
     def test_i_video_writes_all_four_videos_and_final_trainset_pass(
             self, tmp_path, monkeypatch):
