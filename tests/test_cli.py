@@ -178,6 +178,8 @@ class TestProbeOffsets:
         # 8 steps from the zero-init bending layer: offsets must be tiny
         # relative to the probed volume
         assert out["mean_offset_rel_diag"] < 0.05
+        assert 0.0 <= out["mean_temporal_motion"] \
+            <= out["max_temporal_motion"]
         assert os.path.exists(tmp_path / "probe.json")
 
 

@@ -64,12 +64,14 @@ def main(argv=None):
 
     latents = np.asarray(params["latents"])
     per_t = []
+    all_offsets = []
     for t in range(latents.shape[0]):
         lat = jnp.broadcast_to(jnp.asarray(latents[t]),
                                (pts.shape[0], latents.shape[1]))
         _, det = bend_points(params["bender"], jnp.asarray(pts), lat)
         off = np.asarray(det.get("masked_offsets",
                                  det["unmasked_offsets"]))
+        all_offsets.append(off)
         mag = np.linalg.norm(off, axis=-1)
         row = {"timestep": t,
                "mean_offset": float(mag.mean()),
@@ -80,6 +82,15 @@ def main(argv=None):
             row["mean_rigidity"] = float(rig.mean())
         per_t.append(row)
 
+    # temporal motion: how much the bend of a point VARIES across
+    # timesteps. A static offset merely re-parametrizes the canonical
+    # frame; variation over t is what renders as scene motion, so on a
+    # rigid scene this must be ~0 even where absolute offsets are not.
+    stack = np.stack(all_offsets)                     # (T, N, 3)
+    dev = np.linalg.norm(stack - stack.mean(axis=0, keepdims=True),
+                         axis=-1)                     # (T, N)
+    temporal = dev.mean(axis=0)                       # (N,)
+
     diag = float(np.linalg.norm(hi - lo))
     out = {
         "experiment": args.experiment, "step": int(step),
@@ -89,6 +100,10 @@ def main(argv=None):
         "max_offset": float(np.max([r["max_offset"] for r in per_t])),
         "mean_offset_rel_diag":
             float(np.mean([r["mean_offset"] for r in per_t]) / diag),
+        "mean_temporal_motion": float(temporal.mean()),
+        "p99_temporal_motion": float(np.percentile(temporal, 99)),
+        "max_temporal_motion": float(temporal.max()),
+        "mean_temporal_motion_rel_diag": float(temporal.mean() / diag),
         "per_timestep": per_t,
     }
     print(json.dumps(out))
