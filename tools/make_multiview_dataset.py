@@ -33,14 +33,46 @@ def look_at(pos, target, up=(0.0, 1.0, 0.0)):
     return np.stack([right, upv, back], axis=1)
 
 
-def scene_at(t_frac):
-    """Sphere list [(center, radius, rgb)] + plane config at time t in [0,1]."""
-    moving = (np.array([0.7 * np.sin(2 * np.pi * t_frac),
-                        0.25 * np.sin(4 * np.pi * t_frac + 1.0),
-                        0.0]),
-              0.55 + 0.12 * np.sin(4 * np.pi * t_frac),
-              np.array([0.9, 0.35, 0.2]))
+def scene_at(t_frac, scene="default"):
+    """Sphere list [(center, radius, rgb)] + plane config at time t in [0,1].
+
+    Scene variants for robustness coverage:
+      default      — the r3 flagship scene: moving/pulsating foreground
+                     sphere + static sphere + checkered plane.
+      large_motion — the foreground sphere sweeps ~2x the default amplitude
+                     with a stronger radius pulse (stress: big offsets).
+      occlusion    — the moving sphere crosses IN DEPTH through the static
+                     sphere's line of sight, occluding and disoccluding it
+                     (stress: visibility changes the offsets loss weights).
+      rigid        — NOTHING moves; a correct model must keep offsets ~0
+                     everywhere (the rigidity field has nothing to gate).
+    """
     static = (np.array([-1.1, 0.35, -0.6]), 0.4, np.array([0.2, 0.5, 0.9]))
+    if scene == "default":
+        moving = (np.array([0.7 * np.sin(2 * np.pi * t_frac),
+                            0.25 * np.sin(4 * np.pi * t_frac + 1.0),
+                            0.0]),
+                  0.55 + 0.12 * np.sin(4 * np.pi * t_frac),
+                  np.array([0.9, 0.35, 0.2]))
+    elif scene == "large_motion":
+        moving = (np.array([1.4 * np.sin(2 * np.pi * t_frac),
+                            0.5 * np.sin(4 * np.pi * t_frac + 1.0),
+                            0.3 * np.sin(2 * np.pi * t_frac + 0.5)]),
+                  0.5 + 0.2 * np.sin(4 * np.pi * t_frac),
+                  np.array([0.9, 0.35, 0.2]))
+    elif scene == "occlusion":
+        # sweeps from the right across the static sphere's position and
+        # IN FRONT of it in depth (z from -1.3 behind to +0.4 in front)
+        moving = (np.array([-1.1 + 1.6 * np.cos(2 * np.pi * t_frac),
+                            0.35,
+                            -0.45 + 0.85 * np.sin(2 * np.pi * t_frac)]),
+                  0.45,
+                  np.array([0.9, 0.35, 0.2]))
+    elif scene == "rigid":
+        moving = (np.array([0.5, 0.1, 0.0]), 0.55,
+                  np.array([0.9, 0.35, 0.2]))
+    else:
+        raise ValueError(f"unknown scene {scene!r}")
     return [moving, static]
 
 
@@ -48,7 +80,7 @@ LIGHT = np.array([0.5, 0.8, 0.6]) / np.linalg.norm([0.5, 0.8, 0.6])
 PLANE_Z = -1.6
 
 
-def render_frame(R, pos, H, W, fx, fy, cx, cy, t_frac):
+def render_frame(R, pos, H, W, fx, fy, cx, cy, t_frac, scene="default"):
     """Vectorized ray trace of the scene from one camera."""
     x, y = np.meshgrid(np.arange(W, dtype=np.float64),
                        np.arange(H, dtype=np.float64))
@@ -60,7 +92,7 @@ def render_frame(R, pos, H, W, fx, fy, cx, cy, t_frac):
     t_hit = np.full((H, W), np.inf)
     color = np.zeros((H, W, 3))
 
-    for center, radius, rgb in scene_at(t_frac):
+    for center, radius, rgb in scene_at(t_frac, scene):
         oc = o - center
         b = np.sum(oc * d, -1)
         c = np.sum(oc * oc, -1) - radius * radius
@@ -98,6 +130,14 @@ def main(argv=None):
     ap.add_argument("--timesteps", type=int, default=30)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--scene", default="default",
+                    choices=["default", "large_motion", "occlusion",
+                             "rigid"])
+    ap.add_argument("--write_downsampled", type=int, default=0,
+                    metavar="FACTOR",
+                    help="also write a pre-downsampled images_{FACTOR}/ "
+                         "folder (the LLFF images_{factor} convention the "
+                         "loader prefers at --factor FACTOR)")
     args = ap.parse_args(argv)
 
     import imageio.v2 as imageio
@@ -124,15 +164,27 @@ def main(argv=None):
                                  "center_x": cx, "center_y": cy}
         cams.append((R, pos, fx, fy, cx, cy))
 
+    down = args.write_downsampled
+    if down:
+        downdir = os.path.join(args.out, f"images_{down}")
+        os.makedirs(downdir, exist_ok=True)
+        assert H % down == 0 and W % down == 0, (H, W, down)
+
     mapping = {}
     idx = 0
     for t in range(args.timesteps):
         t_frac = t / max(args.timesteps - 1, 1)
         for v, (R, pos, fx, fy, cx, cy) in enumerate(cams):
-            img = render_frame(R, pos, H, W, fx, fy, cx, cy, t_frac)
+            img = render_frame(R, pos, H, W, fx, fy, cx, cy, t_frac,
+                               args.scene)
             name = f"img{idx:05d}.png"
             imageio.imwrite(os.path.join(imgdir, name),
                             (255 * img).astype(np.uint8))
+            if down:
+                small = img.reshape(H // down, down, W // down, down,
+                                    3).mean(axis=(1, 3))
+                imageio.imwrite(os.path.join(downdir, name),
+                                (255 * small).astype(np.uint8))
             mapping[name] = [f"cam{v}", t]
             idx += 1
         print(f"timestep {t + 1}/{args.timesteps}", flush=True)
