@@ -100,15 +100,23 @@ def render_flops_per_ray(cfg: ModelConfig) -> int:
 
 
 def train_flops_per_ray(cfg: ModelConfig, divergence_weight: float = 1.0,
-                        divergence_exact: bool = False) -> int:
-    """Model FLOPs of one training step, per ray (forward + backward)."""
+                        divergence_exact: bool = False,
+                        n_backwards: int = 1) -> int:
+    """Model FLOPs of one training step, per ray (forward + backward).
+
+    `n_backwards`: cotangent pulls through the shared linearization. The
+    block train/test split mode (engine/train_step.py:57-69) pulls TWO
+    cotangents through one jax.vjp — the reference's two backward passes
+    over one retained graph (reference train.py:1594-1608) — so its
+    algorithmic cost is (1 + 2*2) = 5x a forward; the default is 3x.
+    """
     fwd = render_flops_per_ray(cfg)
     if cfg.use_ray_bending and divergence_weight > 0.0:
         # divergence loss re-bends the S coarse points under a jvp
         # (engine/losses.py:divergence_loss): 2x bender per probe
         probes = 3 if divergence_exact else 1
         fwd += cfg.N_samples * probes * 2 * bender_flops(cfg)
-    return int(3 * fwd)
+    return int((1 + 2 * n_backwards) * fwd)
 
 
 # bf16 dense peak per chip, TFLOP/s. Sources: published TPU spec sheets

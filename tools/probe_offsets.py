@@ -9,6 +9,11 @@ region must carry large offsets while the background stays small.
 
 Usage:
   python tools/probe_offsets.py EXPERIMENT_DIR [--grid 16] [--out FILE]
+      [--checkpoint logs/050000.npz]
+
+--checkpoint probes a specific snapshot instead of the latest one, so the
+deformation field's evolution can be tracked over a training run (the
+50k-step snapshots train.py keeps).
 
 Prints one JSON object; --out also writes it to a file.
 """
@@ -29,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--grid", type=int, default=16,
                     help="points per axis of the probe lattice")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="probe this checkpoint file instead of the "
+                         "experiment's latest (path, or a name relative "
+                         "to EXPERIMENT_DIR)")
     args = ap.parse_args(argv)
 
     if REPO not in sys.path:
@@ -40,7 +49,13 @@ def main(argv=None):
     from nonrigid_nerf_tpu.models.bending import bend_points
 
     logdir = os.path.join(args.experiment, "logs")
-    ckpt_path = latest_checkpoint(logdir)
+    if args.checkpoint:
+        ckpt_path = args.checkpoint if os.path.exists(args.checkpoint) \
+            else os.path.join(args.experiment, args.checkpoint)
+        if not os.path.exists(ckpt_path):
+            raise FileNotFoundError(f"no checkpoint at {ckpt_path}")
+    else:
+        ckpt_path = latest_checkpoint(logdir)
     if ckpt_path is None:
         raise FileNotFoundError(f"no checkpoint under {logdir}")
     step, params, _, extras = load_checkpoint(ckpt_path)

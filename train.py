@@ -490,6 +490,24 @@ def main_function(args: Args) -> None:
                         state.params, state.opt_state, checkpoint_extras())
         print(f"training done at step {int(state.step)}; final loss "
               f"{float(metrics['loss']):.5f}", flush=True)
+        # device-memory high-water mark (scale-envelope evidence: the
+        # uint8 image stack + rays live in HBM by design, data/dataset.py)
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak is not None:
+                print(f"peak device memory: {peak / 2**30:.2f} GiB "
+                      f"(in use now: "
+                      f"{stats.get('bytes_in_use', 0) / 2**30:.2f} GiB)",
+                      flush=True)
+                if metrics_path:
+                    import json as _json
+                    with open(metrics_path, "a") as mf:
+                        mf.write(_json.dumps(
+                            {"step": int(state.step),
+                             "peak_device_bytes": int(peak)}) + "\n")
+        except Exception as e:  # noqa: BLE001 - stats are best-effort
+            print("device memory stats unavailable:", e)
 
 
 if __name__ == "__main__":
