@@ -495,17 +495,27 @@ def main_function(args: Args) -> None:
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
             peak = stats.get("peak_bytes_in_use")
+            row = {"step": int(state.step)}
             if peak is not None:
                 print(f"peak device memory: {peak / 2**30:.2f} GiB "
                       f"(in use now: "
                       f"{stats.get('bytes_in_use', 0) / 2**30:.2f} GiB)",
                       flush=True)
-                if metrics_path:
-                    import json as _json
-                    with open(metrics_path, "a") as mf:
-                        mf.write(_json.dumps(
-                            {"step": int(state.step),
-                             "peak_device_bytes": int(peak)}) + "\n")
+                row["peak_device_bytes"] = int(peak)
+            else:
+                # tunneled/virtual platforms report no allocator stats;
+                # fall back to the live device working set (dominated by
+                # the resident uint8 image stack + per-pixel ray tables,
+                # data/dataset.py — XLA step temporaries come on top)
+                live = sum(int(a.nbytes) for a in jax.live_arrays())
+                print(f"live device arrays at end of training: "
+                      f"{live / 2**30:.2f} GiB "
+                      f"(allocator peak stats unavailable here)", flush=True)
+                row["live_device_bytes"] = live
+            if metrics_path and len(row) > 1:
+                import json as _json
+                with open(metrics_path, "a") as mf:
+                    mf.write(_json.dumps(row) + "\n")
         except Exception as e:  # noqa: BLE001 - stats are best-effort
             print("device memory stats unavailable:", e)
 
