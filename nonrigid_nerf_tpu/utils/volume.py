@@ -14,22 +14,36 @@ import numpy as np
 
 from nonrigid_nerf_tpu.config import ModelConfig, RenderSettings
 from nonrigid_nerf_tpu.engine.render import render_rays
-from nonrigid_nerf_tpu.ops.rays import get_rays
+from nonrigid_nerf_tpu.ops.rays import pixel_rays
 
 
 def determine_nerf_volume_extent(params, cfg: ModelConfig,
                                  rs: RenderSettings, poses, intrinsics,
                                  output_folder: str = None):
-    """Returns (min_point, max_point) numpy arrays of shape (3,)."""
+    """Returns (min_point, max_point) numpy arrays of shape (3,).
+
+    One batched pixel_rays call for all 4 corner rays of every camera —
+    never materializes per-camera H x W ray grids and never fetches
+    per-corner scalars (on a tunneled device, per-corner fetches cost a
+    network roundtrip each: 86 cameras used to take ~8 minutes)."""
     rs = rs.test_mode()
-    corners_o, corners_d = [], []
-    for c2w, intrin in zip(poses, intrinsics):
-        rays_o, rays_d = get_rays(jnp.asarray(c2w[:3, :4]), intrin)
-        for yy, xx in ((0, 0), (-1, 0), (0, -1), (-1, -1)):
-            corners_o.append(np.asarray(rays_o[yy, xx]))
-            corners_d.append(np.asarray(rays_d[yy, xx]))
-    rays_o = jnp.asarray(np.stack(corners_o))
-    rays_d = jnp.asarray(np.stack(corners_d))
+    c2w, xs, ys, fx, fy, cx, cy = [], [], [], [], [], [], []
+    # corner order (y, x) per camera matches the reference probe
+    for pose, intrin in zip(poses, intrinsics):
+        w, h = int(intrin["width"]), int(intrin["height"])
+        for yy, xx in ((0, 0), (h - 1, 0), (0, w - 1), (h - 1, w - 1)):
+            c2w.append(np.asarray(pose)[:3, :4])
+            xs.append(xx)
+            ys.append(yy)
+            fx.append(intrin["focal_x"])
+            fy.append(intrin["focal_y"])
+            cx.append(intrin["center_x"])
+            cy.append(intrin["center_y"])
+    rays_o, rays_d = pixel_rays(
+        jnp.asarray(np.stack(c2w), jnp.float32),
+        jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32),
+        jnp.asarray(fx, jnp.float32), jnp.asarray(fy, jnp.float32),
+        jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32))
     latents = jnp.zeros((rays_o.shape[0],
                          intrinsics[0]["ray_bending_latent_size"]))
 
