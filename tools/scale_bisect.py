@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Bisect the 300-frame/720p throughput regression (49.6 it/s vs the
+86-frame baseline's 137.9 it/s): time the real jitted train step against
+synthetic device-resident stacks, with the current 4D advanced-index pixel
+gather vs a flat (N*H*W, 3) row gather. Model/losses/optimizer/N_rand are
+identical in every cell; only the image-stack shape and gather form vary."""
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from nonrigid_nerf_tpu.config import ModelConfig, RenderSettings, TrainConfig
+from nonrigid_nerf_tpu.data import build_ray_dataset, get_multi_view_mappings
+from nonrigid_nerf_tpu.data.dataset import sample_ray_batch
+from nonrigid_nerf_tpu.engine.train_state import create_train_state
+from nonrigid_nerf_tpu.engine.train_step import make_train_step
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def make_ds(n, h, w):
+    images = np.zeros((n, h, w, 3), np.uint8)  # contents don't matter
+    images[:, ::7, ::5] = 128
+    poses = np.tile(np.eye(4)[:3][None], (n, 1, 1)).astype(np.float32)
+    poses[:, 2, 3] = np.linspace(0.0, 0.5, n)
+    extras = get_multi_view_mappings(n, "/nonexistent")
+    intrinsics = {i: {"height": h, "width": w, "focal_x": w * 0.9,
+                      "focal_y": w * 0.9, "center_x": w / 2,
+                      "center_y": h / 2, "ray_bending_latent_size": 32}
+                  for i in range(n)}
+    return build_ray_dataset(images, poses, intrinsics, extras,
+                             i_train=np.arange(n),
+                             i_test=np.array([], dtype=np.int64),
+                             near=1.0, far=6.0)
+
+
+def timeit(fn, iters):
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=200)
+    args = p.parse_args()
+    log(f"device: {jax.devices()[0]}")
+    cfg = ModelConfig()
+    tc = TrainConfig(N_rand=1024, offsets_loss_weight=3.0,
+                     divergence_loss_weight=0.3, rigidity_loss_weight=5e-4,
+                     N_iters=100000)
+    rs = RenderSettings(near=1.0, far=6.0, raw_noise_std=1.0)
+
+    for (n, h, w) in ((86, 384, 512), (900, 720, 1280)):
+        log(f"building {n}x{h}x{w} dataset on device...")
+        ds = make_ds(n, h, w)
+        jax.block_until_ready(ds.images)
+        log("device stack ready")
+        state = create_train_state(jax.random.PRNGKey(0), cfg, tc,
+                                   ds.num_timesteps)
+        key = jax.random.PRNGKey(1)
+
+        sample = jax.jit(lambda k: sample_ray_batch(k, ds, tc.N_rand))
+        ms_sample = timeit(lambda: sample(key), 300)
+        log(f"  sample_ray_batch alone: {ms_sample:.3f} ms")
+
+        step_fn = make_train_step(cfg, tc, rs, has_test_split=False,
+                                  donate=False)
+        holder = {"s": state}
+
+        def one():
+            holder["s"], m = step_fn(holder["s"], ds, key)
+            return m["loss"]
+        log("  compiling full step...")
+        ms_step = timeit(one, args.iters)
+        log(f"  FULL STEP (4d gather): {ms_step:.3f} ms "
+            f"({1000.0 / ms_step:.1f} it/s)")
+        del ds, holder
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
