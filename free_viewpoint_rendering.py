@@ -233,6 +233,8 @@ def free_viewpoint_rendering(fvr_args):
         output_name += "_canonical"
     if fvr_args.quantize_inference:
         output_name += "_int8"
+    if fvr_args.view_stride > 1:
+        output_name += "_stride" + str(fvr_args.view_stride)
     output_folder = os.path.join(fvr_args.input, "output", output_name)
     create_folder(output_folder)
 
@@ -295,6 +297,11 @@ def free_viewpoint_rendering(fvr_args):
     if len(indices) == 0:
         raise ValueError(f"deformation subset {fvr_args.deformations!r} "
                          "is empty for this experiment")
+    if fvr_args.view_stride > 1:
+        # evaluate/render every k-th frame of the subset (scores.json stays
+        # ground-truth-aligned; output folder is suffixed _stride{k} so
+        # full-protocol and subsampled artifacts can't be confused)
+        indices = indices[::fvr_args.view_stride]
     sub_poses = poses[indices]
     sub_latents = frame_latents[indices]
     sub_images = images[indices]
@@ -575,6 +582,11 @@ def build_parser():
     parser.add_argument("--output_video_fps", type=int, default=5)
     parser.add_argument("--num_target_frames", type=int, default=120,
                         help="frame count for time_interpolation paths")
+    parser.add_argument("--view_stride", type=int, default=1,
+                        help="render/evaluate every k-th frame of the "
+                             "deformation subset (TPU-native extra for "
+                             "large datasets; output folder gains a "
+                             "_stride{k} suffix when > 1)")
     parser.add_argument("--quantize_inference", action="store_true",
                         help="EXPERIMENTAL: render through the int8 MXU "
                              "kernel (post-training calibration on this "

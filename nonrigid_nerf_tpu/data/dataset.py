@@ -99,7 +99,14 @@ def sample_ray_batch(key, ds: RayDataset, n_rand: int):
     x = jax.random.randint(k_x, (n_rand,), 0, ds.width)
     y = jax.random.randint(k_y, (n_rand,), 0, ds.height)
 
-    target = ds.images[image_ids, y, x].astype(jnp.float32) / 255.0
+    # Flat row gather instead of 4D advanced indexing: the reshape is
+    # layout-identical (row-major) so XLA aliases the buffer, and the
+    # single-axis gather lowers ~4.5x faster on TPU than the 4D form at
+    # large stack sizes (tools/gather_microbench.py; the 300-frame/720p
+    # scale-envelope stack is 2.5 GB).
+    flat = ds.images.reshape(-1, 3)
+    lin = (image_ids * ds.height + y) * ds.width + x
+    target = flat[lin].astype(jnp.float32) / 255.0
 
     c2w = ds.poses[image_ids]                          # (R, 3, 4)
     viewids = ds.imageid_to_viewid[image_ids]

@@ -390,6 +390,23 @@ class TestFVRCLI:
         assert np.isfinite(scores["average_lpips"])
         assert all(np.isfinite(scores[str(i)]["lpips"]) for i in range(4))
 
+    def test_view_stride_subsamples_protocol(self, experiment):
+        # --view_stride k evaluates every k-th frame of the deformation
+        # subset (for large datasets where the full 900-view protocol is
+        # impractical); the output folder is suffixed so full-protocol and
+        # subsampled artifacts can't be confused
+        out = self._run(experiment,
+                        ["--deformations", "all",
+                         "--camera_path", "input_reconstruction",
+                         "--view_stride", "2"])
+        assert out.endswith("_stride2")
+        with open(os.path.join(out, "scores.json")) as f:
+            scores = json.load(f)
+        # 4-frame fixture, stride 2 -> exactly 2 frames scored
+        per_frame = [k for k in scores if k.isdigit()]
+        assert len(per_frame) == 2
+        assert np.isfinite(scores["average_psnr"])
+
     def test_scene_edits_in_output_name(self, experiment):
         out = self._run(experiment,
                         ["--deformations", "all", "--camera_path", "fixed",
