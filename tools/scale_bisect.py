@@ -141,7 +141,23 @@ def main():
         ms_split = timeit(one_split, args.iters)
         log(f"  SPLIT STEP (separate sampling jit): {ms_split:.3f} ms "
             f"({1000.0 / ms_split:.1f} it/s)")
-        del ds, holder, holder2
+
+        # residency cell: same step_from_batch, fixed prebuilt batch, the
+        # image stack FREED first — isolates "big array resident in HBM"
+        # from "big array is an operand of the program being timed"
+        fixed_batch = jax.tree_util.tree_map(jnp.asarray, sample(key, ds))
+        jax.block_until_ready(fixed_batch["rays_o"])
+        del ds
+        holder3 = {"s": state}
+
+        def one_fixed():
+            holder3["s"], loss = step_from_batch(holder3["s"], fixed_batch,
+                                                 key)
+            return loss
+        ms_fixed = timeit(one_fixed, args.iters)
+        log(f"  BATCH-ONLY STEP (stack freed): {ms_fixed:.3f} ms "
+            f"({1000.0 / ms_fixed:.1f} it/s)")
+        del holder, holder2, holder3
     log("done")
 
 
