@@ -197,6 +197,7 @@ _INT_KEYS = {
     "precrop_iters", "factor", "i_print", "i_img", "i_weights", "i_testset",
     "i_video", "lrate_decay", "profile_steps", "die_at_step",
     "bending_depth", "bending_width", "rigidity_depth", "rigidity_width",
+    "sampling_prefetch",
 }
 _FLOAT_KEYS = {
     "lrate", "perturb", "offsets_loss_weight", "divergence_loss_weight",
@@ -244,6 +245,17 @@ DEFAULTS = {
     # persistent XLA compilation cache: cuts the first-step compile from
     # ~130s (cold) to ~12s on the TPU box; "" disables
     "compilation_cache_dir": "~/.cache/nonrigid_nerf_tpu/xla",
+    # batch presampling cadence (TPU-native; see engine/train_step.py
+    # make_prefetch_train_step): every N steps, ONE program takes the
+    # device-resident image stack and presamples N ray batches; the
+    # per-step program never sees the stack. On the tunneled runtime every
+    # execution passing the stack pays a per-call cost proportional to its
+    # size (~17.8 ms at 2.5 GB — round-5 scale-envelope finding), so this
+    # restores full step rate on large datasets. -1 = auto (64 when the
+    # stack is >= 256 MB, else fused), 0/1 = fused sampling, N>1 = force.
+    # All modes sample identical pixels with identical RNG streams
+    # (trajectories agree to float roundoff).
+    "sampling_prefetch": -1,
     # checkpoint storage backend: "npz" (single self-describing file,
     # default) or "orbax" (Orbax/TensorStore directory — the JAX-ecosystem
     # layer, natively extendable to sharded global arrays). Both restore

@@ -35,10 +35,27 @@ def train_step(state: TrainState, ds: RayDataset, key, *,
                optimizer, has_test_split: bool, n_rand: int,
                debug_metrics: bool = False):
     """One optimization step. Returns (new_state, metrics)."""
-    k_batch, k_render, k_loss = jax.random.split(
+    k_batch, _, _ = jax.random.split(jax.random.fold_in(key, state.step), 3)
+    batch = sample_ray_batch(k_batch, ds, n_rand)
+    return train_step_from_batch(
+        state, batch, key, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
+        has_test_split=has_test_split, n_rand=n_rand,
+        debug_metrics=debug_metrics)
+
+
+def train_step_from_batch(state: TrainState, batch, key, *,
+                          cfg: ModelConfig, tc: TrainConfig,
+                          rs: RenderSettings, optimizer,
+                          has_test_split: bool, n_rand: int,
+                          debug_metrics: bool = False):
+    """The step body, with the ray batch already sampled. The render/loss
+    keys are derived exactly as in the fused path (fold_in(key, step) then
+    split(3)), so fused and presampled training sample identical pixels and
+    use identical RNG streams (trajectories agree to float roundoff —
+    the restructured program reorders a few reductions)."""
+    _, k_render, k_loss = jax.random.split(
         jax.random.fold_in(key, state.step), 3)
 
-    batch = sample_ray_batch(k_batch, ds, n_rand)
     needs_detail = cfg.use_ray_bending and (
         tc.offsets_loss_weight > 0.0 or tc.divergence_loss_weight > 0.0)
 
@@ -115,3 +132,58 @@ def make_train_step(cfg: ModelConfig, tc: TrainConfig, rs: RenderSettings,
         n_rand=n_rand if n_rand is not None else tc.N_rand,
         debug_metrics=debug_metrics)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_prefetch_train_step(cfg: ModelConfig, tc: TrainConfig,
+                             rs: RenderSettings, has_test_split: bool,
+                             n_prefetch: int,
+                             n_rand: Optional[int] = None,
+                             donate: bool = True,
+                             debug_metrics: bool = False):
+    """Build the presampled-training pair (presample_fn, step_fn).
+
+    Motivation (round-5 scale-envelope finding, tools/scale_bisect.py): on
+    the tunneled TPU runtime, every execution that takes the device-resident
+    image stack as an argument pays a per-call cost proportional to the
+    stack size (~17.8 ms for the 2.49 GB 300-frame/720p stack — a 2.8x
+    train-step slowdown), even though the gather itself is ~0.07 ms and a
+    step WITHOUT the stack argument runs at full speed. So: pay the big-
+    argument cost once per `n_prefetch` steps instead of every step.
+
+      presample_fn(ds, key, step0) -> batches   # the ONLY program that
+                                                # takes the image stack
+      step_fn(state, batches, i, key) -> (state, metrics)
+
+    `batches` stacks `n_prefetch` ray batches, one per upcoming step;
+    `i` indexes into it (dynamic slice inside the program). Pixel sampling
+    uses the same fold_in(key, step)-derived keys as the fused
+    make_train_step, so presampled training draws IDENTICAL pixels with
+    IDENTICAL RNG streams (trajectories agree to float roundoff; see
+    tests/test_train_step.py::TestPrefetchTraining) — and it is
+    resume-safe, since presampling depends only on (key, step), never on
+    consumed state.
+    """
+    if cfg.fused_kernel == "int8":
+        raise ValueError("fused_kernel='int8' is inference-only (the int8 "
+                         "kernel has no backward); train with 'auto'/'on'/"
+                         "'off' and quantize the checkpoint afterwards")
+    optimizer = make_optimizer(tc)
+    nr = n_rand if n_rand is not None else tc.N_rand
+
+    @jax.jit
+    def presample_fn(ds: RayDataset, key, step0):
+        def one(step):
+            k_batch, _, _ = jax.random.split(jax.random.fold_in(key, step),
+                                             3)
+            return sample_ray_batch(k_batch, ds, nr)
+        return jax.vmap(one)(step0 + jnp.arange(n_prefetch))
+
+    def step_body(state, batches, i, key):
+        batch = jax.tree_util.tree_map(lambda x: x[i], batches)
+        return train_step_from_batch(
+            state, batch, key, cfg=cfg, tc=tc, rs=rs, optimizer=optimizer,
+            has_test_split=has_test_split, n_rand=nr,
+            debug_metrics=debug_metrics)
+
+    step_fn = jax.jit(step_body, donate_argnums=(0,) if donate else ())
+    return presample_fn, step_fn

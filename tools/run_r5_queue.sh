@@ -22,7 +22,7 @@ train_until_done() {  # expname, log, then train.py args...
     qlog "train $exp attempt $attempt"
     timeout 4000 python train.py --rootdir experiments_r5 --expname "$exp" \
       --seed 0 --i_print 2000 --i_img 0 --i_testset 1000000 \
-      --i_video 1000000 --metrics_file True "$@" >> "$log" 2>&1
+      --i_video 1000000 --metrics_file "$@" >> "$log" 2>&1
     sleep 3
   done
   qlog "train $exp FAILED (never completed)"; return 1
@@ -52,9 +52,10 @@ train_until_done scale300_100k experiments_r5/scale300_100k.log \
   --factor 1 --N_iters 100000 --lrate_decay 250000 \
   --offsets_loss_weight 3.0 --divergence_loss_weight 0.3 \
   --i_weights 25000
-qlog "phase B: scale300 eval (input_reconstruction over all 900 views)"
+qlog "phase B: scale300 eval (input_reconstruction, every 30th of 900 views)"
 fvr --input experiments_r5/scale300_100k --deformations train \
-  --camera_path input_reconstruction >> experiments_r5/scale300_100k.log 2>&1
+  --camera_path input_reconstruction --view_stride 30 \
+  >> experiments_r5/scale300_100k.log 2>&1
 qlog "phase B done"
 
 # ---- C. hard dynamics: occlusion at the full 200k schedule ---------------

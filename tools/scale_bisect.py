@@ -50,13 +50,21 @@ def make_ds(n, h, w):
                              near=1.0, far=6.0)
 
 
+def _sync(out):
+    # value fetch of one leaf: a barrier block_until_ready can't fake on
+    # the tunneled runtime (np.asarray on a DICT would silently not sync —
+    # that bug made early sampler timings meaninglessly fast)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
 def timeit(fn, iters):
     out = fn()
-    np.asarray(out)  # value fetch: a barrier block_until_ready can't fake
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    np.asarray(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -147,13 +155,28 @@ def main():
         # from "big array is an operand of the program being timed"
         fixed_batch = jax.tree_util.tree_map(jnp.asarray, sample(key, ds))
         jax.block_until_ready(fixed_batch["rays_o"])
-        del ds
+
+        # mechanism cell 1: trivial program that takes the stack as its
+        # argument every call — isolates per-call argument-handling cost
+        # (e.g. a runtime that copies non-donated inputs per execution)
+        toucher = jax.jit(lambda a: a[0, 0, 0, 0])
+        ms_touch = timeit(lambda: toucher(ds.images), args.iters)
+        log(f"  ARG-TOUCH (stack passed, ~zero compute): {ms_touch:.3f} ms")
+
+        # mechanism cell 2: stack RESIDENT in HBM but NOT an argument of
+        # the timed program — isolates pure-residency/allocator effects
         holder3 = {"s": state}
 
         def one_fixed():
             holder3["s"], loss = step_from_batch(holder3["s"], fixed_batch,
                                                  key)
             return loss
+        ms_res = timeit(one_fixed, args.iters)
+        log(f"  BATCH-ONLY STEP (stack resident, not passed): "
+            f"{ms_res:.3f} ms ({1000.0 / ms_res:.1f} it/s)")
+
+        del ds
+        holder3 = {"s": state}
         ms_fixed = timeit(one_fixed, args.iters)
         log(f"  BATCH-ONLY STEP (stack freed): {ms_fixed:.3f} ms "
             f"({1000.0 / ms_fixed:.1f} it/s)")

@@ -266,8 +266,34 @@ def main_function(args: Args) -> None:
         print(f"data-parallel training over {n_devices} devices"
               + (f" on {n_procs} hosts" if n_procs > 1 else ""))
     else:
-        step_fn = make_train_step(cfg, tc, rs, has_test_split,
-                                  debug_metrics=args.debug)
+        n_pref = int(getattr(args, "sampling_prefetch", -1))
+        if n_pref < 0:  # auto: amortize the per-call big-argument cost the
+            # tunneled runtime charges for the image stack (see
+            # engine/train_step.py make_prefetch_train_step) on large stacks
+            n_pref = 64 if ds.images.nbytes >= 256 * 1024 * 1024 else 0
+        if n_pref > 1:
+            from nonrigid_nerf_tpu.engine.train_step import \
+                make_prefetch_train_step
+            presample_fn, batch_step_fn = make_prefetch_train_step(
+                cfg, tc, rs, has_test_split, n_prefetch=n_pref,
+                debug_metrics=args.debug)
+            print(f"presampled training: {n_pref} batches per stack pass")
+            _pref = {"base": -(10 ** 9), "batches": None,
+                     "next_step": int(state.step)}
+
+            def step_fn(state, ds, key):
+                s = _pref["next_step"]   # host mirror of state.step —
+                # avoids a per-step device fetch just for indexing
+                if not _pref["base"] <= s < _pref["base"] + n_pref:
+                    _pref["base"] = s
+                    _pref["batches"] = presample_fn(ds, key, np.int32(s))
+                out = batch_step_fn(state, _pref["batches"],
+                                    np.int32(s - _pref["base"]), key)
+                _pref["next_step"] = s + 1
+                return out
+        else:
+            step_fn = make_train_step(cfg, tc, rs, has_test_split,
+                                      debug_metrics=args.debug)
 
     def checkpoint_extras():
         return {
